@@ -1,0 +1,57 @@
+"""Video analyzer — public entry point.
+
+Contract from /root/reference/app/analyzers/video.py: ``analyze(path, meta)``
+returns ``{"timeline": [...], "summary": {...}, "timeline_ai": [...]}`` with
+``timeline`` and ``timeline_ai`` being the *same list object* (video.py:83 —
+observable because fusion pads in place), and the empty result
+``{"timeline": [], "summary": {}, "timeline_ai": []}`` when the container
+cannot be opened (video.py:12-13).
+
+Architecture (TPU-first, SURVEY.md §7): the host decodes the reference's
+sampled frames into one ``[N, H, W, 3]`` uint8 batch
+(``avd_tpu.ingest.video_reader``); a single jitted program computes every
+per-frame feature batched (``avd_tpu.ops.video_features``); summary
+aggregation and timeline padding run on host in float64.
+
+Backends (env ``AVD_BACKEND``):
+    ``jax``     batched XLA/Pallas path (default)
+    ``oracle``  reference-faithful numpy/cv2 loop (parity + CPU baseline)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+from avd_tpu.ingest import video_reader
+
+
+def _empty_result() -> Dict[str, Any]:
+    return {"timeline": [], "summary": {}, "timeline_ai": []}
+
+
+def _backend() -> str:
+    return os.getenv("AVD_BACKEND", "jax")
+
+
+def analyze(path: str, meta: dict) -> Dict[str, Any]:
+    fb = video_reader.read_sampled(path, meta)
+    if fb is None:
+        return _empty_result()
+    return analyze_batch(fb)
+
+
+def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
+    """Analyze a pre-decoded frame batch (also used by the serving
+    micro-batcher, which shares one device program across requests)."""
+    if _backend() == "oracle":
+        from avd_tpu.oracle import video_ref
+        out = video_ref.analyze_frames(
+            fb.frames, fb.width, fb.height, fb.fps, fb.duration)
+    else:
+        from avd_tpu.ops import video_features
+        out = video_features.analyze_frames(
+            fb.frames, fb.width, fb.height, fb.fps, fb.duration)
+    # timeline and timeline_ai must alias (video.py:83).
+    out["timeline_ai"] = out["timeline"]
+    return out

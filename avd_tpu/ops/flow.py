@@ -1,0 +1,342 @@
+"""Farnebäck dense optical flow, batched for TPU.
+
+The reference calls ``cv2.calcOpticalFlowFarneback(prev, cur, None,
+0.5, 3, 15, 3, 5, 1.2, 0)`` per consecutive frame pair on 320×320 grayscale
+(/root/reference/app/analyzers/video.py:43-49).  This module reimplements the
+algorithm (Farnebäck 2003, "Two-Frame Motion Estimation Based on Polynomial
+Expansion") as pure JAX ops batched over ALL frame pairs of a clip at once:
+
+* polynomial expansion = six separable correlations (VPU convs) plus a
+  precomputed inverse-Gram contraction;
+* pyramid construction = Gaussian blur + bilinear resize expressed as
+  interpolation-matrix matmuls (MXU);
+* the displacement update = a bilinear warp gather, pointwise normal
+  equations, a separable box blur, and a regularized 2×2 solve per pixel.
+
+Every iteration-level structure of the OpenCV implementation is kept
+(levels+1 pyramid scales, per-level pre-smoothing with
+sigma=(1/scale-1)*0.5, 3 solver iterations with matrix refresh between
+them, 5-px border taper, det+1e-3 regularization) so results track cv2
+numerically; tests/test_flow.py measures the agreement against cv2 directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avd_tpu.ops import resize as resize_ops
+
+DEFAULT_PARAMS = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                      poly_n=5, poly_sigma=1.2)
+
+# Border taper within 5 px of each edge (OpenCV FarnebackUpdateMatrices).
+_BORDER = 5
+_BORDER_SCALE = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# host-side precomputation
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _poly_exp_kernels(n: int, sigma: float):
+    """1D Gaussian basis kernels g, x·g, x²·g and inverse-Gram scalars."""
+    k = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(k ** 2) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = k * g
+    xxg = (k ** 2) * g
+
+    # 6×6 Gram of basis (1, x, y, x², y², xy) under w(x,y)=g(x)g(y).
+    G = np.zeros((6, 6), np.float64)
+    for y in k.astype(int):
+        for x in k.astype(int):
+            w = g[y + n] * g[x + n]
+            G[0, 0] += w
+            G[1, 1] += w * x * x
+            G[2, 2] += w * y * y
+            G[3, 3] += w * x * x * x * x
+            G[4, 4] += w * y * y * y * y
+            G[5, 5] += w * x * x * y * y
+            G[0, 3] += w * x * x
+            G[0, 4] += w * y * y
+            G[3, 4] += w * x * x * y * y
+    G[3, 0] = G[0, 3]
+    G[4, 0] = G[0, 4]
+    G[4, 3] = G[3, 4]
+    invG = np.linalg.inv(G)
+    ig11 = invG[1, 1]
+    ig03 = invG[0, 3]
+    ig33 = invG[3, 3]
+    ig55 = invG[5, 5]
+    return (g.astype(np.float32), xg.astype(np.float32),
+            xxg.astype(np.float32), float(ig11), float(ig03),
+            float(ig33), float(ig55))
+
+
+@functools.lru_cache(maxsize=32)
+def _gaussian_blur_kernel(ksize: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel semantics, incl. the fixed small-kernel table
+    used when sigma <= 0 and ksize <= 7."""
+    small_tab = {
+        1: [1.0],
+        3: [0.25, 0.5, 0.25],
+        5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+        7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+    }
+    if sigma <= 0 and ksize in small_tab:
+        return np.asarray(small_tab[ksize], np.float32)
+    s = sigma if sigma > 0 else 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    kern = np.exp(-(x ** 2) / (2.0 * s * s))
+    kern /= kern.sum()
+    return kern.astype(np.float32)
+
+
+def _cv_round(x: float) -> int:
+    """cvRound: round half to even."""
+    f = math.floor(x)
+    d = x - f
+    if d < 0.5:
+        return f
+    if d > 0.5:
+        return f + 1
+    return f if f % 2 == 0 else f + 1
+
+
+# ---------------------------------------------------------------------------
+# device-side building blocks (all batched over leading axis B)
+# ---------------------------------------------------------------------------
+
+def _sep_correlate(img: jnp.ndarray, kv: np.ndarray, kh: np.ndarray,
+                   mode: str) -> jnp.ndarray:
+    """Separable 2D correlation over [B, H, W] with the given border mode."""
+    n_v = (len(kv) - 1) // 2
+    n_h = (len(kh) - 1) // 2
+    x = jnp.pad(img, [(0, 0), (n_v, n_v), (n_h, n_h)], mode=mode)
+    x = x[:, None]  # [B, 1, H+2nv, W+2nh]
+    kvj = jnp.asarray(kv, jnp.float32).reshape(1, 1, -1, 1)
+    khj = jnp.asarray(kh, jnp.float32).reshape(1, 1, 1, -1)
+    x = jax.lax.conv_general_dilated(x, kvj, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, khj, (1, 1), "VALID")
+    return x[:, 0]
+
+
+def _gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
+    k = _gaussian_blur_kernel(ksize, sigma)
+    return _sep_correlate(img, k, k, mode="reflect")
+
+
+def _resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """Float bilinear resize (cv2 INTER_LINEAR float path) via matmuls."""
+    src_h, src_w = img.shape[-2:]
+    if (src_h, src_w) == (dst_h, dst_w):
+        return img
+    rm = resize_ops.linear_matrix(src_h, dst_h, quantize=False)
+    cm = resize_ops.linear_matrix(src_w, dst_w, quantize=False)
+    return resize_ops.resize_matmul(img, rm, cm)
+
+
+def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """[B, H, W] f32 → [B, H, W, 5] polynomial coefficients
+    (b_x, b_y, c_xx, c_yy, c_xy) with replicate borders."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_kernels(n, sigma)
+    # vertical then horizontal separable passes (correlation: k·f(y+k)).
+    b1 = _sep_correlate(img, g, g, "edge")      # smooth
+    b2 = _sep_correlate(img, g, xg, "edge")     # d/dx
+    b3 = _sep_correlate(img, xg, g, "edge")     # d/dy
+    b4 = _sep_correlate(img, g, xxg, "edge")    # x²
+    b5 = _sep_correlate(img, xxg, g, "edge")    # y²
+    b6 = _sep_correlate(img, xg, xg, "edge")    # xy
+    bx = b2 * ig11
+    by = b3 * ig11
+    cxx = b1 * ig03 + b4 * ig33
+    cyy = b1 * ig03 + b5 * ig33
+    cxy = b6 * ig55
+    return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+
+
+def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
+    """Bilinear warp of [B,H,W,5] coefficients by [B,H,W,2] flow.
+
+    Returns (warped, in_bounds) with the OpenCV in-bounds rule
+    0 <= floor(coord) < size-1.
+    """
+    B, H, W, C = R1.shape
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    fx = xs + flow[..., 0]
+    fy = ys + flow[..., 1]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    a = fx - x1
+    b = fy - y1
+    inb = (x1 >= 0) & (x1 <= W - 2) & (y1 >= 0) & (y1 <= H - 2)
+    x1c = jnp.clip(x1.astype(jnp.int32), 0, W - 2)
+    y1c = jnp.clip(y1.astype(jnp.int32), 0, H - 2)
+
+    flatR = R1.reshape(B, H * W, C)
+    base = (y1c * W + x1c).reshape(B, H * W, 1)
+
+    def gather(offset):
+        return jnp.take_along_axis(flatR, base + offset,
+                                   axis=1).reshape(B, H, W, C)
+
+    w00 = ((1 - a) * (1 - b))[..., None]
+    w01 = (a * (1 - b))[..., None]
+    w10 = ((1 - a) * b)[..., None]
+    w11 = (a * b)[..., None]
+    warped = (w00 * gather(0) + w01 * gather(1)
+              + w10 * gather(W) + w11 * gather(W + 1))
+    return warped, inb
+
+
+@functools.lru_cache(maxsize=32)
+def _border_taper(h: int, w: int) -> np.ndarray:
+    """[H, W] multiplicative taper: border[d] within 5 px of each edge."""
+    sx = np.ones(w, np.float32)
+    sy = np.ones(h, np.float32)
+    for i in range(min(_BORDER, w)):
+        sx[i] *= _BORDER_SCALE[i]
+        sx[w - 1 - i] *= _BORDER_SCALE[i]
+    for i in range(min(_BORDER, h)):
+        sy[i] *= _BORDER_SCALE[i]
+        sy[h - 1 - i] *= _BORDER_SCALE[i]
+    return sy[:, None] * sx[None, :]
+
+
+def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray,
+                     flow: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise normal-equation entries M=[G11,G12,G22,h1,h2] per pixel."""
+    H, W = R0.shape[1:3]
+    R1w, inb = _warp_poly(R1, flow)
+    inb = inb[..., None]
+
+    # averaged quadratic coefficients; cross term carries an extra 1/2
+    # because the stored channel is the full cross coefficient.
+    r4 = jnp.where(inb[..., 0], (R0[..., 2] + R1w[..., 2]) * 0.5, R0[..., 2])
+    r5 = jnp.where(inb[..., 0], (R0[..., 3] + R1w[..., 3]) * 0.5, R0[..., 3])
+    r6 = jnp.where(inb[..., 0], (R0[..., 4] + R1w[..., 4]) * 0.25,
+                   R0[..., 4] * 0.5)
+
+    b1w = jnp.where(inb[..., 0], R1w[..., 0], 0.0)
+    b2w = jnp.where(inb[..., 0], R1w[..., 1], 0.0)
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    r2 = (R0[..., 0] - b1w) * 0.5 + r4 * dx + r6 * dy
+    r3 = (R0[..., 1] - b2w) * 0.5 + r6 * dx + r5 * dy
+
+    taper = jnp.asarray(_border_taper(H, W))[None]
+    r2 = r2 * taper
+    r3 = r3 * taper
+    r4 = r4 * taper
+    r5 = r5 * taper
+    r6 = r6 * taper
+
+    g11 = r4 * r4 + r6 * r6
+    g12 = (r4 + r5) * r6
+    g22 = r5 * r5 + r6 * r6
+    h1 = r4 * r2 + r6 * r3
+    h2 = r6 * r2 + r5 * r3
+    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+
+
+def _box_blur_mean(m: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    """Separable box mean over [B,H,W,C] with replicate borders."""
+    half = (winsize - 1) // 2
+    k = np.ones(winsize, np.float32)
+    B, H, W, C = m.shape
+    x = m.transpose(0, 3, 1, 2).reshape(B * C, H, W)
+    x = _sep_correlate(x, k, k, "edge")
+    x = x.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    return x * (1.0 / (winsize * winsize))
+
+
+def _solve_flow(mblur: jnp.ndarray) -> jnp.ndarray:
+    """Regularized per-pixel 2×2 solve → [B,H,W,2] flow."""
+    g11 = mblur[..., 0]
+    g12 = mblur[..., 1]
+    g22 = mblur[..., 2]
+    h1 = mblur[..., 3]
+    h2 = mblur[..., 4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def _level_plan(h: int, w: int, pyr_scale: float, levels: int):
+    """Per-level (scale, sigma, ksize, height, width), coarsest first,
+    mirroring OpenCV's level clamp and cvRound sizing."""
+    # clamp level count so the smallest image stays >= 32 px (OpenCV
+    # min_size in calcOpticalFlowFarneback)
+    eff = 0
+    scale = 1.0
+    for k in range(levels):
+        scale *= pyr_scale
+        if min(h, w) * scale < 32.0:
+            break
+        eff = k + 1
+    plan = []
+    for k in range(eff, -1, -1):
+        scale = pyr_scale ** k
+        sigma = (1.0 / scale - 1.0) * 0.5
+        ksize = max(_cv_round(sigma * 5) | 1, 3)
+        plan.append((scale, sigma, ksize,
+                     _cv_round(h * scale), _cv_round(w * scale)))
+    return plan
+
+
+def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
+                   pyr_scale: float = 0.5, levels: int = 3,
+                   winsize: int = 15, iterations: int = 3,
+                   poly_n: int = 5, poly_sigma: float = 1.2) -> jnp.ndarray:
+    """Batched Farnebäck flow: two [B, H, W] f32 stacks → [B, H, W, 2].
+
+    Semantics match cv2.calcOpticalFlowFarneback with flags=0 (box-filter
+    aggregation, no initial flow).
+    """
+    B, H, W = prev.shape
+    plan = _level_plan(H, W, pyr_scale, levels)
+
+    flow = None
+    for li, (scale, sigma, ksize, lh, lw) in enumerate(plan):
+        i0 = _resize_bilinear(_gaussian_blur(prev, ksize, sigma), lh, lw)
+        i1 = _resize_bilinear(_gaussian_blur(cur, ksize, sigma), lh, lw)
+        R0 = poly_expansion(i0, poly_n, poly_sigma)
+        R1 = poly_expansion(i1, poly_n, poly_sigma)
+
+        if flow is None:
+            flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+        else:
+            up = _resize_bilinear(
+                flow.transpose(0, 3, 1, 2).reshape(B * 2, *flow.shape[1:3]),
+                lh, lw)
+            flow = (up.reshape(B, 2, lh, lw).transpose(0, 2, 3, 1)
+                    * (1.0 / pyr_scale))
+
+        M = _update_matrices(R0, R1, flow)
+        for it in range(iterations):
+            flow = _solve_flow(_box_blur_mean(M, winsize))
+            if it < iterations - 1:
+                M = _update_matrices(R0, R1, flow)
+    return flow
+
+
+def flow_magnitude_stats(flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pair mean and population variance of |flow| — the only flow
+    quantities the reference consumes (video.py:45-48)."""
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    mean = jnp.mean(mag, axis=(-2, -1))
+    var = jnp.mean((mag - mean[..., None, None]) ** 2, axis=(-2, -1))
+    return mean, var

@@ -1,0 +1,155 @@
+"""Batched per-frame video features — the TPU replacement for the
+reference's decode-loop compute (/root/reference/app/analyzers/video.py:27-58).
+
+One jitted program per (chunk, H, W) consumes a uint8 frame window and
+returns ONLY per-frame scalars:
+
+    texture[k]     Laplacian variance at full resolution
+    hamming[k]     Hamming distance between consecutive 32×32 avg-hashes
+    flow_mean[k]   mean |Farnebäck flow| on 320×320 gray, pair (k, k+1)
+    flow_var[k]    population variance of |flow| per pair
+
+so HBM traffic is one pass over the frames and the host↔device transfer is
+O(frames), not O(pixels).  Clips longer than the chunk stream through the
+same compiled program with a one-frame lead-in (consecutive-pair features
+need the previous frame), giving static shapes for XLA while supporting any
+clip length.  Aggregation/timeline assembly runs on host in float64 via the
+same code path as the oracle (``avd_tpu.oracle.video_ref.summarize``) —
+parity by construction for everything downstream of the per-frame features.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import numpy as np
+
+from avd_tpu.oracle import video_ref
+
+# Frames per device chunk (excluding the 1-frame lead-in).  48 frames at
+# 1080p keeps the f32 gray + Laplacian intermediates well under 1 GB HBM.
+_DEFAULT_CHUNK = int(os.getenv("AVD_VIDEO_CHUNK", "48"))
+
+_FLOW_SIZE = 320  # reference flow resolution (video.py:43)
+_HASH_SIZE = 32   # reference hash resolution (video.py:4)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_chunk(n_frames: int, h: int, w: int):
+    """jit program over a [n_frames, H, W, 3] uint8 window."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.ops import color, flow, hashing, laplacian, resize
+
+    area_r = resize.area_matrix(h, _HASH_SIZE)
+    area_c = resize.area_matrix(w, _HASH_SIZE)
+    lin_r = resize.linear_matrix(h, _FLOW_SIZE, quantize=True)
+    lin_c = resize.linear_matrix(w, _FLOW_SIZE, quantize=True)
+
+    @jax.jit
+    def features(frames_u8: jnp.ndarray):
+        gray = color.bgr_to_gray_f32(frames_u8)  # [N, H, W]
+
+        tex = laplacian.texture_variance(gray)
+
+        # hash on rounded 32×32 area-average (cv2 resizes to uint8)
+        small = resize.resize_matmul(gray, area_r, area_c)
+        small = jnp.round(small)
+        bits = hashing.average_hash_bits(small)
+        ham = hashing.consecutive_hamming(bits)
+
+        # flow input: cv2 INTER_LINEAR uint8 resize to 320×320
+        fsmall = resize.resize_matmul(gray, lin_r, lin_c)
+        fsmall = jnp.clip(jnp.round(fsmall), 0.0, 255.0)
+        fl = flow.farneback_flow(fsmall[:-1], fsmall[1:])
+        fmean, fvar = flow.flow_magnitude_stats(fl)
+
+        return tex, ham, fmean, fvar
+
+    return features
+
+
+def _chunk_size(h: int, w: int) -> int:
+    # shrink the chunk for very large frames to bound HBM intermediates
+    pixels = h * w
+    if pixels > 1920 * 1080:
+        return max(8, _DEFAULT_CHUNK // 4)
+    return _DEFAULT_CHUNK
+
+
+def compute_features(frames: np.ndarray) -> Dict:
+    """Per-frame feature lists for a [N, H, W, 3] uint8 batch.
+
+    Output dict matches ``oracle.video_ref.compute_features`` so the same
+    summarize() assembles the analyzer result.
+    """
+    import jax.numpy as jnp
+
+    n = frames.shape[0]
+    feats = {"dup": 0, "total": n, "flow_means": [], "flow_vars": [],
+             "textures": [], "timeline_ai": []}
+    if n == 0:
+        return feats
+
+    h, w = frames.shape[1:3]
+    chunk = _chunk_size(h, w)
+
+    tex_all: list = []
+    ham_all: list = []
+    fmean_all: list = []
+    fvar_all: list = []
+
+    start = 0
+    while start < n:
+        valid = min(chunk, n - start)
+        # window = lead-in frame + `chunk` frames (padded by repetition)
+        lead = frames[start - 1] if start > 0 else frames[0]
+        body = frames[start:start + valid]
+        window = np.concatenate([lead[None], body])
+        if valid < chunk:
+            pad = np.repeat(window[-1:], chunk - valid, axis=0)
+            window = np.concatenate([window, pad])
+
+        fn = _compiled_chunk(chunk + 1, h, w)
+        tex, ham, fmean, fvar = (np.asarray(x) for x in
+                                 fn(jnp.asarray(window)))
+
+        # window index 0 is the lead-in: drop its texture; pair i is
+        # (window[i], window[i+1]) → global pair (start-1+i, start+i).
+        tex_all.extend(tex[1:1 + valid].tolist())
+        if start == 0:
+            # lead-in duplicates frame 0 → pair 0 is (f0, f0): drop it.
+            ham_all.extend(ham[1:valid].tolist())
+            fmean_all.extend(fmean[1:valid].tolist())
+            fvar_all.extend(fvar[1:valid].tolist())
+        else:
+            ham_all.extend(ham[:valid].tolist())
+            fmean_all.extend(fmean[:valid].tolist())
+            fvar_all.extend(fvar[:valid].tolist())
+        start += valid
+
+    feats["textures"] = [float(t) for t in tex_all]
+    feats["flow_means"] = [float(x) for x in fmean_all]
+    feats["flow_vars"] = [float(x) for x in fvar_all]
+    feats["dup"] = int(sum(1 for hm in ham_all if hm == 0))
+
+    # per-frame AI suspicion (video.py:54-57), float64 on host
+    timeline = []
+    for i in range(n):
+        tex = feats["textures"][i]
+        mot = feats["flow_means"][i - 1] if i > 0 else 0.0
+        timeline.append(float(np.clip(
+            1.0 - (tex / (tex + 1000.0)) * (1.0 + mot), 0.0, 1.0)))
+    feats["timeline_ai"] = timeline
+    return feats
+
+
+def analyze_frames(frames: np.ndarray, w: int, h: int, fps: float,
+                   duration: float) -> Dict:
+    """Full TPU video analysis over a decoded batch (mirrors
+    oracle.video_ref.analyze_frames)."""
+    feats = compute_features(frames)
+    return video_ref.summarize(feats, w, h, fps, duration)
