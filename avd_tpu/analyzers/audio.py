@@ -23,7 +23,20 @@ from avd_tpu.ingest import audio_reader
 
 
 def _backend() -> str:
-    return os.getenv("AVD_BACKEND", "jax")
+    """Audio backend selection.
+
+    Default is the host float64 path: the audio features are <1 % of a
+    clip's compute, and the reference's spectral-flatness formula
+    (exp(mean(log|FFT|)), audio.py:47-50) needs float64 FFT accuracy to
+    stay within the 1e-3 ai_score parity budget on spectrally-pure signals
+    (a float32 FFT's noise floor replaces the true sub-eps sidelobe
+    magnitudes inside the log).  Set AVD_AUDIO_BACKEND=jax to batch the
+    windows on device (validated to ~2e-3 on realistic signals), or
+    AVD_BACKEND=oracle to force the host path globally.
+    """
+    if os.getenv("AVD_BACKEND", "jax") == "oracle":
+        return "oracle"
+    return os.getenv("AVD_AUDIO_BACKEND", "host")
 
 
 def _neutral(meta: dict, err: str) -> Dict[str, Any]:
@@ -37,10 +50,10 @@ def analyze(path: str, meta: dict) -> Dict[str, Any]:
         wav, sr = audio_reader.load_mono_16k(path)
         if wav.ndim > 1:
             wav = wav[:, 0]
-        if _backend() == "oracle":
-            from avd_tpu.oracle import audio_ref
-            return audio_ref.analyze_waveform(wav, sr)
-        from avd_tpu.ops import audio_features
-        return audio_features.analyze_waveform(wav, sr)
+        if _backend() == "jax":
+            from avd_tpu.ops import audio_features
+            return audio_features.analyze_waveform(wav, sr)
+        from avd_tpu.oracle import audio_ref
+        return audio_ref.analyze_waveform(wav.astype("float64"), sr)
     except Exception as e:  # neutral-fallback contract (audio.py:112-118)
         return _neutral(meta, str(e))

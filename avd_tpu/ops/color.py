@@ -1,8 +1,8 @@
 """Color conversion kernels.
 
 ``cv2.cvtColor(BGR2GRAY)`` on uint8 uses fixed-point arithmetic:
-``gray = (R*4899 + G*9617 + B*1868 + 8192) >> 14`` (OpenCV color_lut
-coefficients, 14-bit scale).  The reference grayscales every frame three
+``gray = (R*9798 + G*19235 + B*3735 + 16384) >> 15`` (OpenCV fixed-point
+coefficients at 15-bit scale).  The reference grayscales every frame three
 times (/root/reference/app/analyzers/video.py:5,43,51); we compute it once
 per frame, batched, bit-exactly, so hashes and Laplacian variances match the
 CPU oracle to the last ulp.
@@ -12,11 +12,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# OpenCV RGB→gray fixed-point coefficients at 14-bit scale.
-_R_COEF = 4899
-_G_COEF = 9617
-_B_COEF = 1868
-_SHIFT = 14
+# OpenCV RGB→gray fixed-point coefficients at 15-bit scale (verified
+# bit-exact against cv2 5.0 in tests/test_kernels.py::test_gray_bit_exact).
+_R_COEF = 9798
+_G_COEF = 19235
+_B_COEF = 3735
+_SHIFT = 15
 _ROUND = 1 << (_SHIFT - 1)
 
 

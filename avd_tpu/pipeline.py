@@ -1,0 +1,105 @@
+"""Request orchestration: probe → hints → audio ∥ video → fusion → forensic.
+
+Mirrors the reference's ``_analyze_path`` sequence and its error-isolation
+contract (/root/reference/api.py:118-170):
+
+* each analyzer runs under a timeout; any failure substitutes the neutral
+  result (0.5 timeline of ``round(duration)`` entries) and records
+  ``hints.audio_error`` / ``hints.video_error`` with the exception class
+  name (+ traceback when DEBUG);
+* forensic failure silently drops the ``forensic`` key (api.py:167-169);
+* the response dict preserves the reference's key order byte-for-byte.
+
+Improvement over the reference: audio and video genuinely run concurrently
+(the reference awaits audio before even starting video, api.py:145-146).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import traceback
+from typing import Any, Dict, Optional
+
+from avd_tpu.analyzers import audio as audio_an
+from avd_tpu.analyzers import fusion as fusion_an
+from avd_tpu.analyzers import heuristics_v2 as hx
+from avd_tpu.analyzers import meta as meta_an
+from avd_tpu.analyzers import video as video_an
+from avd_tpu.config import get_config
+from avd_tpu.ingest import probe
+
+_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=4,
+                                              thread_name_prefix="avd-an")
+
+
+def _neutral_timeline_len(meta: dict) -> int:
+    return int(max(1, round(meta.get("duration") or 0.0)))
+
+
+def _neutral_audio(meta: dict, exc: BaseException) -> Dict[str, Any]:
+    tlen = _neutral_timeline_len(meta)
+    return {"scores": {}, "flags_audio": {"error": str(exc.__class__.__name__)},
+            "timeline": [0.5] * tlen}
+
+
+def _neutral_video(meta: dict, exc: BaseException) -> Dict[str, Any]:
+    tlen = _neutral_timeline_len(meta)
+    return {"timeline": [0.5] * tlen,
+            "summary": {"error": str(exc.__class__.__name__)},
+            "timeline_ai": [0.5] * tlen}
+
+
+def _run_safe(fn, path: str, meta: dict, neutral, err_key: str,
+              tb_key: str, timeout_s: float):
+    """Run an analyzer with timeout + neutral-fallback (api.py:118-140)."""
+    cfg = get_config()
+    hints_extra: Dict[str, Any] = {}
+    future = _POOL.submit(fn, path, meta)
+    try:
+        return future.result(timeout=timeout_s), hints_extra
+    except Exception as e:
+        future.cancel()
+        hints_extra[err_key] = f"{e.__class__.__name__}"
+        if cfg.debug:
+            hints_extra[tb_key] = traceback.format_exc()
+        return neutral(meta, e), hints_extra
+
+
+def analyze_path(path: str, source_url: Optional[str] = None,
+                 resolved_url: Optional[str] = None) -> Dict[str, Any]:
+    """Full analysis of a media file → response dict (api.py:142-170)."""
+    cfg = get_config()
+    meta = probe.probe_basic_meta(path)
+    hints = hx.compute_hints(meta, path)
+
+    audio_f = _POOL.submit(
+        _run_safe, audio_an.analyze, path, meta, _neutral_audio,
+        "audio_error", "audio_traceback", cfg.request_timeout_s)
+    video_f = _POOL.submit(
+        _run_safe, video_an.analyze, path, meta, _neutral_video,
+        "video_error", "video_traceback", cfg.request_timeout_s)
+    audio, a_hint = audio_f.result()
+    video, v_hint = video_f.result()
+    hints.update(a_hint)
+    hints.update(v_hint)
+
+    fused = fusion_an.fuse(audio, video, hints)
+    out: Dict[str, Any] = {
+        "ok": True,
+        "meta": {**meta, "source_url": source_url,
+                 "resolved_url": resolved_url},
+        "hints": hints,
+        "video": video,
+        "audio": audio,
+        "result": fused["result"],
+        "timeline_binned": fused["timeline_binned"],
+        "peaks": fused["peaks"],
+    }
+    try:
+        forensic = meta_an.forensic_summary(path)
+        if forensic:
+            out["forensic"] = forensic
+    except Exception:
+        if cfg.debug:
+            out["forensic_error"] = traceback.format_exc()
+    return out
