@@ -43,6 +43,8 @@ def _compiled_chunk(n_frames: int, h: int, w: int):
     import jax.numpy as jnp
 
     from avd_tpu.ops import color, flow, hashing, laplacian, resize
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
 
     area_r = resize.area_matrix(h, _HASH_SIZE)
     area_c = resize.area_matrix(w, _HASH_SIZE)

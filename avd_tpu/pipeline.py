@@ -28,8 +28,40 @@ from avd_tpu.analyzers import video as video_an
 from avd_tpu.config import get_config
 from avd_tpu.ingest import probe
 
-_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=4,
-                                              thread_name_prefix="avd-an")
+import threading
+
+
+class _DaemonTask:
+    """Run a callable on a daemon thread with a result()/timeout API.
+
+    Daemon threads mean a timed-out analyzer (e.g. a long first-compile)
+    cannot keep the process alive after the response was already produced
+    with the neutral fallback.
+    """
+
+    def __init__(self, fn, *args):
+        self._done = threading.Event()
+        self._result = None
+        self._exc: BaseException | None = None
+
+        def runner():
+            try:
+                self._result = fn(*args)
+            except BaseException as e:  # re-raised in result()
+                self._exc = e
+            finally:
+                self._done.set()
+
+        self._thread = threading.Thread(target=runner, daemon=True,
+                                        name="avd-analyzer")
+        self._thread.start()
+
+    def result(self, timeout: float | None = None):
+        if not self._done.wait(timeout):
+            raise concurrent.futures.TimeoutError()
+        if self._exc is not None:
+            raise self._exc
+        return self._result
 
 
 def _neutral_timeline_len(meta: dict) -> int:
@@ -54,11 +86,10 @@ def _run_safe(fn, path: str, meta: dict, neutral, err_key: str,
     """Run an analyzer with timeout + neutral-fallback (api.py:118-140)."""
     cfg = get_config()
     hints_extra: Dict[str, Any] = {}
-    future = _POOL.submit(fn, path, meta)
+    task = _DaemonTask(fn, path, meta)
     try:
-        return future.result(timeout=timeout_s), hints_extra
+        return task.result(timeout=timeout_s), hints_extra
     except Exception as e:
-        future.cancel()
         hints_extra[err_key] = f"{e.__class__.__name__}"
         if cfg.debug:
             hints_extra[tb_key] = traceback.format_exc()
@@ -72,14 +103,14 @@ def analyze_path(path: str, source_url: Optional[str] = None,
     meta = probe.probe_basic_meta(path)
     hints = hx.compute_hints(meta, path)
 
-    audio_f = _POOL.submit(
+    audio_t = _DaemonTask(
         _run_safe, audio_an.analyze, path, meta, _neutral_audio,
         "audio_error", "audio_traceback", cfg.request_timeout_s)
-    video_f = _POOL.submit(
+    video_t = _DaemonTask(
         _run_safe, video_an.analyze, path, meta, _neutral_video,
         "video_error", "video_traceback", cfg.request_timeout_s)
-    audio, a_hint = audio_f.result()
-    video, v_hint = video_f.result()
+    audio, a_hint = audio_t.result()
+    video, v_hint = video_t.result()
     hints.update(a_hint)
     hints.update(v_hint)
 

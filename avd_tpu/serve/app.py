@@ -1,0 +1,171 @@
+"""HTTP route definitions — full parity with the reference surface.
+
+Routes (api.py:213-266): GET / , GET /healthz , GET /readyz , catch-all
+OPTIONS (204), POST /cors-test (echo), POST /analyze (multipart upload),
+POST /predict (back-compat dispatcher), POST /analyze-url (form URL).
+Response bodies, error statuses (413/415/422/500) and Italian messages are
+preserved byte-for-byte; /readyz additionally reports TPU device health
+(the reference only checks for ffprobe/exiftool binaries, api.py:110-116).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import shutil
+from typing import Any, Dict
+
+from avd_tpu import pipeline
+from avd_tpu.config import get_config
+from avd_tpu.serve.http import (App, HTTPError, Request, Response,
+                                parse_multipart)
+
+SERVICE_NAME = "ai-video-detector"
+
+
+def _ready_probe() -> Dict[str, Any]:
+    """Dependency probe (api.py:110-116) + TPU device health."""
+    cfg = get_config()
+    out = {
+        "ffprobe": bool(shutil.which("ffprobe")),
+        "exiftool": bool(shutil.which("exiftool")),
+        "version": cfg.version,
+        "author": "Backtato",
+    }
+    try:
+        import jax
+        devs = jax.devices()
+        out["tpu"] = {"devices": len(devs),
+                      "kind": devs[0].device_kind if devs else None}
+    except Exception as e:
+        out["tpu"] = {"devices": 0, "error": str(e)}
+    return out
+
+
+def _too_large_detail():
+    cfg = get_config()
+    return {"error": "File troppo grande",
+            "limit_bytes": cfg.max_upload_bytes}
+
+
+def _analyze_with_timeout(path: str, source_url=None, resolved_url=None):
+    cfg = get_config()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(pipeline.analyze_path, path, source_url,
+                          resolved_url)
+        try:
+            return fut.result(timeout=cfg.request_timeout_s)
+        except concurrent.futures.TimeoutError:
+            raise HTTPError(500, {"error": "Timeout analisi"})
+
+
+def build_app(analyze_fn=None) -> App:
+    """Construct the route table.  ``analyze_fn`` is injectable so the
+    batching queue (serve.batching) can wrap the pipeline."""
+    cfg = get_config()
+    app = App(allowed_origins=cfg.allowed_origins, debug=cfg.debug)
+    run_analysis = analyze_fn or _analyze_with_timeout
+
+    @app.route("GET", "/")
+    def root(req: Request) -> Response:
+        return Response({"ok": True, "service": SERVICE_NAME,
+                         "version": cfg.version})
+
+    @app.route("GET", "/healthz")
+    def healthz(req: Request) -> Response:
+        return Response({"ok": True, "version": cfg.version})
+
+    @app.route("GET", "/readyz")
+    def readyz(req: Request) -> Response:
+        return Response({"ok": True, **_ready_probe()})
+
+    @app.options_catchall
+    def options(req: Request) -> Response:
+        return Response(status=204)
+
+    @app.route("POST", "/cors-test")
+    def cors_test(req: Request) -> Response:
+        body = req.body()
+        return Response({"ok": True,
+                         "echo": body.decode("utf-8", "ignore")})
+
+    def _do_analyze(req: Request) -> Response:
+        files, _ = parse_multipart(req, cfg.max_upload_bytes,
+                                   _too_large_detail)
+        up = files.get("file")
+        if up is None:
+            raise HTTPError(415, {"error": "File vuoto o non ricevuto"})
+        try:
+            return Response(run_analysis(up.path))
+        finally:
+            up.unlink()
+
+    def _do_analyze_url(url: str) -> Response:
+        from avd_tpu.ingest import url as url_resolver
+        if not url:
+            raise HTTPError(422, {"error": "URL mancante"})
+        dl = url_resolver.resolve(url, cfg.resolver_max_bytes)
+        try:
+            return Response(run_analysis(dl["path"], source_url=url,
+                                         resolved_url=dl.get("resolved_url")))
+        finally:
+            import os
+            try:
+                os.unlink(dl["path"])
+            except OSError:
+                pass
+
+    @app.route("POST", "/analyze")
+    def analyze(req: Request) -> Response:
+        return _do_analyze(req)
+
+    @app.route("POST", "/analyze-url")
+    def analyze_url(req: Request) -> Response:
+        _, fields = parse_multipart_or_form(req)
+        return _do_analyze_url(fields.get("url", ""))
+
+    @app.route("POST", "/predict")
+    def predict(req: Request) -> Response:
+        """Back-compat dispatcher (api.py:247-253): file → analyze,
+        url → analyze-url, neither → 422."""
+        files, fields = parse_multipart_or_form(req)
+        up = files.get("file")
+        if up is not None:
+            try:
+                return Response(run_analysis(up.path))
+            finally:
+                up.unlink()
+        if fields.get("url"):
+            return _do_analyze_url(fields["url"])
+        raise HTTPError(422, {"error": "Nessun input",
+                              "hint": "Invia 'file' oppure 'url'."})
+
+    def parse_multipart_or_form(req: Request):
+        ctype = req.headers.get("Content-Type", "")
+        if "multipart/form-data" in ctype:
+            return parse_multipart(req, cfg.max_upload_bytes,
+                                   _too_large_detail)
+        if "application/x-www-form-urlencoded" in ctype:
+            from urllib.parse import parse_qs
+            body = req.body().decode("utf-8", "ignore")
+            return {}, {k: v[0] for k, v in parse_qs(body).items()}
+        return {}, {}
+
+    return app
+
+
+def main() -> int:
+    """Run a single-process server: ``python -m avd_tpu.serve.app``."""
+    from avd_tpu.serve.http import make_server
+    cfg = get_config()
+    host, _, port = cfg.bind.rpartition(":")
+    server = make_server(build_app(), host or "0.0.0.0", int(port))
+    print(f"avd_tpu serving on {cfg.bind}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: video-forensics frames/sec/chip at 1080p.
+
+Measures the full per-frame feature pipeline (grayscale, average-hash
+duplicate detection, full-res Laplacian texture variance, 320×320 Farnebäck
+optical flow per consecutive pair, AI-suspicion timeline) on:
+
+* the TPU path (``avd_tpu.ops.video_features`` — batched jitted XLA), and
+* the CPU reference path (``avd_tpu.oracle.video_ref`` — the
+  reference-faithful numpy/OpenCV loop, i.e. what
+  /root/reference/app/analyzers/video.py:27-58 does per frame).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup over the measured CPU run (BASELINE.md target:
+>= 10x).  The reference publishes no numbers of its own (BASELINE.json
+"published": {}).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = int(os.getenv("AVD_BENCH_FRAMES", "49"))
+H, W = 1080, 1920
+CPU_FRAMES = int(os.getenv("AVD_BENCH_CPU_FRAMES", "13"))
+REPS = int(os.getenv("AVD_BENCH_REPS", "3"))
+
+
+def make_frames(n: int) -> np.ndarray:
+    """Deterministic textured 1080p frames with real motion."""
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (H + 64, W + 64, 3),
+                        dtype=np.int16).astype(np.uint8)
+    try:
+        import cv2
+        base = cv2.GaussianBlur(base, (0, 0), 2)
+    except Exception:
+        pass
+    frames = np.empty((n, H, W, 3), np.uint8)
+    for i in range(n):
+        dy, dx = (i * 3) % 64, (i * 5) % 64
+        frames[i] = base[dy:dy + H, dx:dx + W]
+    return frames
+
+
+def bench_tpu(frames: np.ndarray) -> float:
+    from avd_tpu.ops import video_features
+    video_features.compute_features(frames)  # compile + warm
+    best = float("inf")
+    for _ in range(REPS):
+        t = time.perf_counter()
+        video_features.compute_features(frames)
+        best = min(best, time.perf_counter() - t)
+    return len(frames) / best
+
+
+def bench_cpu(frames: np.ndarray) -> float:
+    from avd_tpu.oracle import video_ref
+    t = time.perf_counter()
+    video_ref.compute_features(frames)
+    dt = time.perf_counter() - t
+    return len(frames) / dt
+
+
+def main() -> int:
+    frames = make_frames(N_FRAMES)
+    tpu_fps = bench_tpu(frames)
+    cpu_fps = bench_cpu(frames[:CPU_FRAMES])
+    out = {
+        "metric": "video_forensics_frames_per_sec_1080p",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Pre-fork master: spawn, serve, recycle after max_requests, graceful
+shutdown (gunicorn_conf.py semantics)."""
+
+import http.client
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+
+def _get(port, path, timeout=5):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, json.loads(data)
+
+
+@pytest.fixture
+def master_proc(tmp_path):
+    port = 18472
+    env = dict(os.environ)
+    env.update({
+        "GUNICORN_BIND": f"127.0.0.1:{port}",
+        "WEB_CONCURRENCY": "2",
+        "GUNICORN_MAX_REQUESTS": "5",
+        "GUNICORN_MAX_REQUESTS_JITTER": "0",
+        "GUNICORN_GRACEFUL_TIMEOUT": "5",
+        "AVD_BACKEND": "oracle",
+        "JAX_PLATFORMS": "cpu",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "avd_tpu.serve.master"],
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # wait for readiness
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            status, _ = _get(port, "/healthz", timeout=1)
+            if status == 200:
+                break
+        except OSError:
+            time.sleep(0.3)
+    else:
+        proc.terminate()
+        pytest.fail("master did not become ready")
+    yield proc, port
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def test_master_serves_and_recycles(master_proc):
+    proc, port = master_proc
+    # more requests than one worker's budget: recycling + respawn must keep
+    # the service available throughout
+    ok = 0
+    for _ in range(25):
+        try:
+            status, d = _get(port, "/healthz")
+            if status == 200 and d["ok"]:
+                ok += 1
+        except OSError:
+            time.sleep(0.3)
+    assert ok >= 20
+    assert proc.poll() is None  # master still alive
+
+
+def test_master_graceful_shutdown(master_proc):
+    proc, port = master_proc
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=15)
+    assert proc.returncode == 0

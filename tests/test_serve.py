@@ -1,0 +1,215 @@
+"""HTTP surface tests against a live threaded server (SURVEY.md §4.3):
+route schema, CORS, multipart streaming, 413/415/422 error mapping, and the
+neutral-fallback contract."""
+
+import http.client
+import io
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from avd_tpu import config as config_mod
+from avd_tpu.serve import app as app_mod
+from avd_tpu.serve import http as http_mod
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def server():
+    os.environ["AVD_BACKEND"] = "oracle"  # CPU path: no device compiles
+    config_mod.reset_config()
+    application = app_mod.build_app()
+    srv = http_mod.make_server(application, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield port
+    srv.shutdown()
+    os.environ.pop("AVD_BACKEND", None)
+    config_mod.reset_config()
+
+
+def _request(port, method, path, body=b"", headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request(method, path, body=body, headers=headers or {})
+    r = conn.getresponse()
+    data = r.read()
+    out_headers = dict(r.getheaders())
+    conn.close()
+    return r.status, out_headers, data
+
+
+def _multipart(fields=None, files=None):
+    boundary = "avdboundary123"
+    out = io.BytesIO()
+    for name, value in (fields or {}).items():
+        out.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f"name=\"{name}\"\r\n\r\n{value}\r\n".encode())
+    for name, (filename, payload) in (files or {}).items():
+        out.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f"name=\"{name}\"; filename=\"{filename}\"\r\n"
+                  f"Content-Type: application/octet-stream\r\n\r\n".encode())
+        out.write(payload)
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    body = out.getvalue()
+    return body, {"Content-Type": f"multipart/form-data; boundary={boundary}",
+                  "Content-Length": str(len(body))}
+
+
+def test_root(server):
+    status, _, data = _request(server, "GET", "/")
+    assert status == 200
+    d = json.loads(data)
+    assert d["ok"] is True and d["service"] == "ai-video-detector"
+    assert "version" in d
+
+
+def test_healthz(server):
+    status, _, data = _request(server, "GET", "/healthz")
+    assert status == 200
+    assert json.loads(data)["ok"] is True
+
+
+def test_readyz_reports_tpu(server):
+    status, _, data = _request(server, "GET", "/readyz")
+    d = json.loads(data)
+    assert status == 200 and d["ok"] is True
+    assert d["author"] == "Backtato"
+    assert "ffprobe" in d and "exiftool" in d
+    assert "tpu" in d  # our addition: device health
+
+
+def test_options_catchall(server):
+    status, headers, _ = _request(server, "OPTIONS", "/anything/nested")
+    assert status == 204
+    assert headers.get("Access-Control-Allow-Origin") == "*"
+
+
+def test_cors_test_echo(server):
+    status, _, data = _request(server, "POST", "/cors-test", body=b"ciao",
+                               headers={"Content-Length": "4"})
+    assert status == 200
+    assert json.loads(data)["echo"] == "ciao"
+
+
+def test_analyze_full_schema(server, tmp_path):
+    clip = fixtures.noise_clip(30, 64)
+    path = fixtures.write_video(tmp_path / "n.mp4", clip, fps=30.0)
+    with open(path, "rb") as f:
+        payload = f.read()
+    body, headers = _multipart(files={"file": ("clip.mp4", payload)})
+    status, _, data = _request(server, "POST", "/analyze", body, headers)
+    assert status == 200
+    d = json.loads(data)
+    # response key set and order (api.py:149-162)
+    assert list(d.keys())[:8] == ["ok", "meta", "hints", "video", "audio",
+                                  "result", "timeline_binned", "peaks"]
+    assert d["ok"] is True
+    assert d["meta"]["width"] == 64
+    assert d["meta"]["source_url"] is None
+    assert set(d["result"].keys()) == {"label", "ai_score", "confidence",
+                                       "reason"}
+    assert d["result"]["label"] in ("real", "ai", "uncertain")
+    # audio must be the neutral fallback (no ffmpeg, mp4 has no audio)
+    assert d["audio"]["timeline"] == [0.5] * len(d["audio"]["timeline"])
+
+
+def test_analyze_upload_too_large(tmp_path):
+    # config is read at app construction (the reference reads env at import
+    # time, api.py:22) — build a dedicated app with a tiny limit.
+    os.environ["MAX_UPLOAD_BYTES"] = "1000"
+    config_mod.reset_config()
+    try:
+        application = app_mod.build_app()
+        srv = http_mod.make_server(application, "127.0.0.1", 0)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            body, headers = _multipart(files={"file": ("big.mp4",
+                                                       b"\x00" * 5000)})
+            status, _, data = _request(port, "POST", "/analyze",
+                                       body, headers)
+            assert status == 413
+            d = json.loads(data)
+            assert d["detail"]["error"] == "File troppo grande"
+            assert d["detail"]["limit_bytes"] == 1000
+        finally:
+            srv.shutdown()
+    finally:
+        os.environ.pop("MAX_UPLOAD_BYTES")
+        config_mod.reset_config()
+
+
+def test_analyze_missing_file(server):
+    body, headers = _multipart(fields={"other": "x"})
+    status, _, data = _request(server, "POST", "/analyze", body, headers)
+    assert status == 415
+    assert json.loads(data)["detail"]["error"] == "File vuoto o non ricevuto"
+
+
+def test_predict_no_input(server):
+    body, headers = _multipart(fields={})
+    status, _, data = _request(server, "POST", "/predict", body, headers)
+    assert status == 422
+    d = json.loads(data)
+    assert d["detail"]["error"] == "Nessun input"
+    assert d["detail"]["hint"] == "Invia 'file' oppure 'url'."
+
+
+def test_predict_with_file(server, tmp_path):
+    clip = fixtures.solid_clip(16, 64)
+    path = fixtures.write_video(tmp_path / "s.mp4", clip, fps=30.0)
+    with open(path, "rb") as f:
+        payload = f.read()
+    body, headers = _multipart(files={"file": ("clip.mp4", payload)})
+    status, _, data = _request(server, "POST", "/predict", body, headers)
+    assert status == 200
+    assert json.loads(data)["ok"] is True
+
+
+def test_analyze_url_disabled(server):
+    os.environ["USE_YTDLP"] = "0"
+    config_mod.reset_config()
+    try:
+        body = b"url=https%3A%2F%2Fexample.com%2Fv.mp4"
+        status, _, data = _request(
+            server, "POST", "/analyze-url", body,
+            {"Content-Type": "application/x-www-form-urlencoded",
+             "Content-Length": str(len(body))})
+        assert status == 422
+        assert json.loads(data)["detail"]["error"] == "yt-dlp disabilitato"
+    finally:
+        os.environ.pop("USE_YTDLP")
+        config_mod.reset_config()
+
+
+def test_analyze_url_missing(server):
+    body = b"other=x"
+    status, _, data = _request(
+        server, "POST", "/analyze-url", body,
+        {"Content-Type": "application/x-www-form-urlencoded",
+         "Content-Length": str(len(body))})
+    assert status == 422
+    assert json.loads(data)["detail"]["error"] == "URL mancante"
+
+
+def test_unknown_route_404(server):
+    status, _, _ = _request(server, "GET", "/nope")
+    assert status == 404
+
+
+def test_corrupt_upload_gets_neutral_result(server):
+    """A non-video upload must still produce the full schema with neutral
+    timelines (api.py:118-140 error isolation)."""
+    body, headers = _multipart(files={"file": ("junk.mp4",
+                                               b"not a video" * 100)})
+    status, _, data = _request(server, "POST", "/analyze", body, headers)
+    assert status == 200
+    d = json.loads(data)
+    assert d["ok"] is True
+    assert d["result"]["label"] == "uncertain"
+    assert d["video"]["timeline"] in ([], [0.5])  # empty decode or neutral
