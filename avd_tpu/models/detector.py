@@ -1,0 +1,238 @@
+"""Per-frame AI-content detector — a compact ViT, TPU-first.
+
+Pure-JAX functional implementation (explicit param pytree, no framework
+state) so sharding annotations, mixed precision and the training step stay
+fully visible:
+
+* bf16 activations / f32 params & optimizer state / f32 softmax+loss —
+  the standard TPU mixed-precision recipe (MXU eats bf16);
+* shapes chosen for MXU tiling: width 384 (3×128), mlp 1536 (12×128),
+  heads 6×64, 196+1 tokens padded to 256;
+* Megatron-style tensor parallelism expressed declaratively: qkv/mlp-in
+  weights are column-sharded, proj/mlp-out row-sharded over the 'model'
+  mesh axis; the batch is sharded over 'data'.  XLA/GSPMD inserts the
+  collectives (psum over ICI) from the annotations — no hand-written
+  communication (SURVEY.md §2.2).
+
+The reference has no model to compare against (app/analyzers/* is
+heuristic); this is the BASELINE.json north-star detector slot.  Parity
+mode bypasses it; enable via AVD_DETECTOR=1 (models/scoring.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch: int = 16
+    width: int = 384
+    depth: int = 6
+    heads: int = 6
+    mlp_ratio: int = 4
+    n_classes: int = 1          # binary: AI-generated?
+    dropout: float = 0.0        # inference default
+
+    @property
+    def tokens(self) -> int:
+        return (self.image_size // self.patch) ** 2 + 1  # +cls
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @property
+    def mlp_width(self) -> int:
+        return self.width * self.mlp_ratio
+
+
+# Partition specs per parameter path — the declarative TP plan.
+# 'model' shards attention heads / mlp hidden; everything else replicates.
+def param_specs(cfg: ViTConfig) -> Dict[str, Any]:
+    layer = {
+        "ln1_scale": P(), "ln1_bias": P(),
+        "qkv_w": P(None, "model"), "qkv_b": P("model"),
+        "proj_w": P("model", None), "proj_b": P(),
+        "ln2_scale": P(), "ln2_bias": P(),
+        "mlp_in_w": P(None, "model"), "mlp_in_b": P("model"),
+        "mlp_out_w": P("model", None), "mlp_out_b": P(),
+    }
+    return {
+        "patch_w": P(), "patch_b": P(),
+        "pos_emb": P(), "cls_tok": P(),
+        "layers": [dict(layer) for _ in range(cfg.depth)],
+        "ln_f_scale": P(), "ln_f_bias": P(),
+        "head_w": P(), "head_b": P(),
+    }
+
+
+def init_params(key: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
+    """f32 parameter pytree."""
+    k = jax.random.split(key, 4 + cfg.depth)
+    d = cfg.width
+    patch_dim = cfg.patch * cfg.patch * 3
+
+    def dense(key, fan_in, shape):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / np.sqrt(fan_in)))
+
+    params: Dict[str, Any] = {
+        "patch_w": dense(k[0], patch_dim, (patch_dim, d)),
+        "patch_b": jnp.zeros((d,), jnp.float32),
+        "pos_emb": jax.random.normal(k[1], (cfg.tokens, d),
+                                     jnp.float32) * 0.02,
+        "cls_tok": jax.random.normal(k[2], (d,), jnp.float32) * 0.02,
+        "layers": [],
+        "ln_f_scale": jnp.ones((d,), jnp.float32),
+        "ln_f_bias": jnp.zeros((d,), jnp.float32),
+        "head_w": dense(k[3], d, (d, cfg.n_classes)),
+        "head_b": jnp.zeros((cfg.n_classes,), jnp.float32),
+    }
+    for i in range(cfg.depth):
+        lk = jax.random.split(k[4 + i], 4)
+        params["layers"].append({
+            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+            "qkv_w": dense(lk[0], d, (d, 3 * d)),
+            "qkv_b": jnp.zeros((3 * d,)),
+            "proj_w": dense(lk[1], d, (d, d)),
+            "proj_b": jnp.zeros((d,)),
+            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+            "mlp_in_w": dense(lk[2], d, (d, cfg.mlp_width)),
+            "mlp_in_b": jnp.zeros((cfg.mlp_width,)),
+            "mlp_out_w": dense(lk[3], cfg.mlp_width, (cfg.mlp_width, d)),
+            "mlp_out_b": jnp.zeros((d,)),
+        })
+    return params
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return ((x - m) * jax.lax.rsqrt(v + eps)) * scale + bias
+
+
+def _constrain(x, spec: Optional[P]):
+    if spec is None:
+        return x
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except ValueError:
+        return x  # no mesh in context (single-chip path)
+
+
+def patchify(frames: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, T, patch*patch*3]."""
+    b, h, w, c = frames.shape
+    x = frames.reshape(b, h // patch, patch, w // patch, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // patch) * (w // patch), patch * patch * c)
+
+
+def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
+            sharded: bool = False) -> jnp.ndarray:
+    """ViT forward: [B, H, W, 3] float in [0,1] → [B, n_classes] f32 logits.
+
+    ``sharded`` adds GSPMD activation constraints (dp over batch, tp over
+    hidden) for the multi-chip path.
+    """
+    ap = functools.partial(_constrain) if sharded else (lambda x, s: x)
+    x = patchify(frames.astype(jnp.bfloat16), cfg.patch)
+    x = ap(x, P("data", None, None))
+    x = x @ params["patch_w"].astype(jnp.bfloat16) + \
+        params["patch_b"].astype(jnp.bfloat16)
+    cls = jnp.broadcast_to(params["cls_tok"].astype(jnp.bfloat16),
+                           (x.shape[0], 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"].astype(jnp.bfloat16)[None]
+
+    for lp in params["layers"]:
+        # --- attention ---
+        h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
+                lp["ln1_bias"]).astype(jnp.bfloat16)
+        qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
+            lp["qkv_b"].astype(jnp.bfloat16)
+        qkv = ap(qkv, P("data", None, "model"))
+        b, t, _ = qkv.shape
+        qkv = qkv.reshape(b, t, 3, cfg.heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        att = jnp.einsum("bthd,bshd->bhts", q, k,
+                         preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
+        o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
+            lp["proj_b"].astype(jnp.bfloat16)
+        x = x + ap(o, P("data", None, None))
+
+        # --- mlp ---
+        h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
+                lp["ln2_bias"]).astype(jnp.bfloat16)
+        h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
+            lp["mlp_in_b"].astype(jnp.bfloat16)
+        h = ap(h, P("data", None, "model"))
+        h = jax.nn.gelu(h)
+        h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
+            lp["mlp_out_b"].astype(jnp.bfloat16)
+        x = x + ap(h, P("data", None, None))
+
+    x = _ln(x.astype(jnp.float32), params["ln_f_scale"], params["ln_f_bias"])
+    cls_out = x[:, 0]
+    return cls_out @ params["head_w"] + params["head_b"]
+
+
+def loss_fn(params, frames, labels, cfg: ViTConfig,
+            sharded: bool = False) -> jnp.ndarray:
+    """Sigmoid BCE in f32 (labels: [B] in {0,1})."""
+    logits = forward(params, frames, cfg, sharded=sharded)[:, 0]
+    z = logits.astype(jnp.float32)
+    y = labels.astype(jnp.float32)
+    # numerically stable BCE-with-logits
+    per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.mean(per)
+
+
+def make_train_step(cfg: ViTConfig, optimizer, sharded: bool = False):
+    """(params, opt_state, frames, labels) → (params, opt_state, loss)."""
+
+    def step(params, opt_state, frames, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, frames, labels,
+                                                  cfg, sharded)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_optimizer(lr: float = 3e-4):
+    import optax
+    return optax.adamw(lr, weight_decay=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax; SURVEY.md §5 — weight loading only, the service is
+# stateless)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, params, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(path: str, like) -> Any:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, like)

