@@ -52,6 +52,24 @@ def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
         from avd_tpu.ops import video_features
         out = video_features.analyze_frames(
             fb.frames, fb.width, fb.height, fb.fps, fb.duration)
+
+    # optional neural detector (north-star slot; parity mode bypasses it)
+    from avd_tpu.models import scoring
+    if scoring.enabled():
+        det = scoring.detector_timeline(fb.frames)
+        if det is not None:
+            out["detector"] = det
+            # align to the padded timeline with the reference's
+            # last-value/truncate rule (video.py:73-81), then blend
+            det_t = list(det["timeline"])
+            tlen = len(out["timeline"])
+            if len(det_t) < tlen:
+                det_t += [det_t[-1] if det_t else 0.5] * \
+                    (tlen - len(det_t))
+            else:
+                det_t = det_t[:tlen]
+            out["timeline"] = scoring.blend(out["timeline"], det_t)
+
     # timeline and timeline_ai must alias (video.py:83).
     out["timeline_ai"] = out["timeline"]
     return out

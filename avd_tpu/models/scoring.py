@@ -1,0 +1,105 @@
+"""Detector → analyzer integration (north-star neural scoring slot).
+
+The reference's per-frame "detector" is a closed-form heuristic
+(video.py:54-57); BASELINE.json's north star adds batched per-frame
+CNN/ViT forwards.  This module adapts the ViT to the analyzer contract:
+
+* ``AVD_DETECTOR=1`` attaches ``video["detector"] = {"timeline": [...]}``
+  (per-sampled-frame AI probabilities) to the video analyzer output —
+  additive, parity-preserving;
+* ``AVD_DETECTOR_BLEND=x`` (0..1) additionally blends the detector
+  probability into ``timeline_ai`` (0 keeps pure heuristic parity mode);
+* ``AVD_DETECTOR_CKPT`` loads orbax weights; absent, the model runs with
+  seeded random init (useful for wiring/latency tests, labeled as such).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def enabled() -> bool:
+    return os.getenv("AVD_DETECTOR", "0") == "1"
+
+
+def blend_factor() -> float:
+    try:
+        return min(1.0, max(0.0, float(os.getenv("AVD_DETECTOR_BLEND", "0"))))
+    except ValueError:
+        return 0.0
+
+
+@functools.lru_cache(maxsize=1)
+def _bundle():
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.models import detector
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+
+    cfg = detector.ViTConfig()
+    params = detector.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = os.getenv("AVD_DETECTOR_CKPT")
+    source = "random_init"
+    if ckpt:
+        params = detector.load_checkpoint(ckpt, params)
+        source = ckpt
+
+    @jax.jit
+    def probs(params, frames_f32):
+        logits = detector.forward(params, frames_f32, cfg)[:, 0]
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return cfg, params, probs, source
+
+
+def _prep_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
+    """[N, H, W, 3] BGR uint8 → [N, size, size, 3] RGB f32 in [0,1]."""
+    try:
+        import cv2
+        resized = np.stack([cv2.resize(f, (size, size),
+                                       interpolation=cv2.INTER_AREA)
+                            for f in frames_bgr])
+    except ImportError:
+        # nearest-neighbor fallback
+        n, h, w, _ = frames_bgr.shape
+        yi = (np.arange(size) * h // size)
+        xi = (np.arange(size) * w // size)
+        resized = frames_bgr[:, yi][:, :, xi]
+    rgb = resized[..., ::-1].astype(np.float32) / 255.0
+    return rgb
+
+
+def detector_timeline(frames_bgr: np.ndarray) -> Optional[dict]:
+    """Per-frame AI probabilities for a sampled-frame batch, or None when
+    the detector is disabled or no frames exist."""
+    if not enabled() or frames_bgr.shape[0] == 0:
+        return None
+    import jax.numpy as jnp
+
+    cfg, params, probs_fn, source = _bundle()
+    batch = _prep_frames(frames_bgr, cfg.image_size)
+    # pad to a power-of-two bucket for stable compile shapes
+    n = batch.shape[0]
+    bucket = 1
+    while bucket < n:
+        bucket *= 2
+    if bucket != n:
+        batch = np.concatenate(
+            [batch, np.repeat(batch[-1:], bucket - n, axis=0)])
+    p = np.asarray(probs_fn(params, jnp.asarray(batch)))[:n]
+    return {"timeline": [float(x) for x in p], "weights": source}
+
+
+def blend(timeline_ai: List[float], det: List[float]) -> List[float]:
+    """Convex blend of heuristic and detector per-frame scores."""
+    f = blend_factor()
+    if f <= 0.0 or len(timeline_ai) != len(det):
+        return timeline_ai
+    return [float((1.0 - f) * h + f * d)
+            for h, d in zip(timeline_ai, det)]

@@ -162,6 +162,23 @@ def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
     return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_warp_enabled() -> bool:
+    """Use the select-shift Pallas kernel on TPU (measured 5.7× faster than
+    the XLA gather at [48,320,320,5]); XLA path elsewhere and via
+    AVD_PALLAS_WARP=0."""
+    import os
+    mode = os.getenv("AVD_PALLAS_WARP", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
     """Bilinear warp of [B,H,W,5] coefficients by [B,H,W,2] flow.
 
@@ -169,6 +186,18 @@ def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
     0 <= floor(coord) < size-1.
     """
     B, H, W, C = R1.shape
+    if _pallas_warp_enabled() and H % 40 == 0:
+        from avd_tpu.ops.pallas import warp as pallas_warp
+        warped = pallas_warp.warp_bilinear(
+            jnp.transpose(R1, (0, 3, 1, 2)),
+            jnp.transpose(flow, (0, 3, 1, 2)))
+        warped = jnp.transpose(warped, (0, 2, 3, 1))
+        xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        x1 = jnp.floor(xs + flow[..., 0])
+        y1 = jnp.floor(ys + flow[..., 1])
+        inb = (x1 >= 0) & (x1 <= W - 2) & (y1 >= 0) & (y1 <= H - 2)
+        return warped, inb
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     fx = xs + flow[..., 0]

@@ -36,48 +36,74 @@ _FLOW_SIZE = 320  # reference flow resolution (video.py:43)
 _HASH_SIZE = 32   # reference hash resolution (video.py:4)
 
 
-@functools.lru_cache(maxsize=16)
-def _compiled_chunk(n_frames: int, h: int, w: int):
-    """jit program over a [n_frames, H, W] uint8 GRAY window.
+def _feature_body(gray_u8, h: int, w: int):
+    """Per-window feature computation over a [N, H, W] uint8 gray window.
 
     Grayscale happens on the host (cv2's fixed-point conversion, bit-exact
     with the reference and ~1 ms/frame next to a ~10 ms decode): every
     feature the reference computes consumes gray only (video.py:5,43,51),
     so shipping BGR to the device would triple H2D traffic for nothing.
     """
-    import jax
     import jax.numpy as jnp
 
     from avd_tpu.ops import flow, hashing, laplacian, resize
-    from avd_tpu.utils import jaxtools
-    jaxtools.setup()
 
     area_r = resize.area_matrix(h, _HASH_SIZE)
     area_c = resize.area_matrix(w, _HASH_SIZE)
     lin_r = resize.linear_matrix(h, _FLOW_SIZE, quantize=True)
     lin_c = resize.linear_matrix(w, _FLOW_SIZE, quantize=True)
 
-    @jax.jit
-    def features(gray_u8: jnp.ndarray):
-        gray = gray_u8.astype(jnp.float32)  # [N, H, W]
+    gray = gray_u8.astype(jnp.float32)  # [N, H, W]
 
-        tex = laplacian.texture_variance(gray)
+    tex = laplacian.texture_variance(gray)
 
-        # hash on rounded 32×32 area-average (cv2 resizes to uint8)
-        small = resize.resize_matmul(gray, area_r, area_c)
-        small = jnp.round(small)
-        bits = hashing.average_hash_bits(small)
-        ham = hashing.consecutive_hamming(bits)
+    # hash on rounded 32×32 area-average (cv2 resizes to uint8)
+    small = resize.resize_matmul(gray, area_r, area_c)
+    small = jnp.round(small)
+    bits = hashing.average_hash_bits(small)
+    ham = hashing.consecutive_hamming(bits)
 
-        # flow input: cv2 INTER_LINEAR uint8 resize to 320×320
-        fsmall = resize.resize_matmul(gray, lin_r, lin_c)
-        fsmall = jnp.clip(jnp.round(fsmall), 0.0, 255.0)
-        fl = flow.farneback_flow(fsmall[:-1], fsmall[1:])
-        fmean, fvar = flow.flow_magnitude_stats(fl)
+    # flow input: cv2 INTER_LINEAR uint8 resize to 320×320
+    fsmall = resize.resize_matmul(gray, lin_r, lin_c)
+    fsmall = jnp.clip(jnp.round(fsmall), 0.0, 255.0)
+    fl = flow.farneback_flow(fsmall[:-1], fsmall[1:])
+    fmean, fvar = flow.flow_magnitude_stats(fl)
 
-        return tex, ham, fmean, fvar
+    return tex, ham, fmean, fvar
 
-    return features
+
+@functools.lru_cache(maxsize=16)
+def _compiled_chunk(n_frames: int, h: int, w: int):
+    """jit program over one [n_frames, H, W] uint8 gray window."""
+    import jax
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    return jax.jit(functools.partial(_feature_body, h=h, w=w))
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
+    """jit program over [m, n_frames, H, W] — m windows from different
+    requests fused into one device call (cross-request micro-batching,
+    BASELINE.json config #5)."""
+    import jax
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    return jax.jit(jax.vmap(functools.partial(_feature_body, h=h, w=w)))
+
+
+def run_window(window_gray_u8: np.ndarray):
+    """Execute the feature program for one window, via the cross-request
+    batcher when serving has one enabled."""
+    import jax.numpy as jnp
+
+    from avd_tpu.serve import batching
+    b = batching.active_batcher()
+    if b is not None:
+        return b.submit(window_gray_u8).result()
+    n, h, w = window_gray_u8.shape
+    fn = _compiled_chunk(n, h, w)
+    return tuple(np.asarray(x) for x in fn(jnp.asarray(window_gray_u8)))
 
 
 def _chunk_size(h: int, w: int) -> int:
@@ -135,9 +161,7 @@ def compute_features(frames: np.ndarray) -> Dict:
             pad = np.repeat(window[-1:], chunk - valid, axis=0)
             window = np.concatenate([window, pad])
 
-        fn = _compiled_chunk(chunk + 1, h, w)
-        tex, ham, fmean, fvar = (np.asarray(x) for x in
-                                 fn(jnp.asarray(window)))
+        tex, ham, fmean, fvar = run_window(window)
 
         # window index 0 is the lead-in: drop its texture; pair i is
         # (window[i], window[i+1]) → global pair (start-1+i, start+i).

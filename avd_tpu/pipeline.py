@@ -99,22 +99,32 @@ def _run_safe(fn, path: str, meta: dict, neutral, err_key: str,
 def analyze_path(path: str, source_url: Optional[str] = None,
                  resolved_url: Optional[str] = None) -> Dict[str, Any]:
     """Full analysis of a media file → response dict (api.py:142-170)."""
-    cfg = get_config()
-    meta = probe.probe_basic_meta(path)
-    hints = hx.compute_hints(meta, path)
+    from avd_tpu.utils.metrics import COUNTERS, StageTimer
 
-    audio_t = _DaemonTask(
-        _run_safe, audio_an.analyze, path, meta, _neutral_audio,
-        "audio_error", "audio_traceback", cfg.request_timeout_s)
-    video_t = _DaemonTask(
-        _run_safe, video_an.analyze, path, meta, _neutral_video,
-        "video_error", "video_traceback", cfg.request_timeout_s)
-    audio, a_hint = audio_t.result()
-    video, v_hint = video_t.result()
+    cfg = get_config()
+    timer = StageTimer()
+    COUNTERS.inc("requests")
+
+    with timer.stage("probe"):
+        meta = probe.probe_basic_meta(path)
+        hints = hx.compute_hints(meta, path)
+
+    with timer.stage("analyzers"):
+        audio_t = _DaemonTask(
+            _run_safe, audio_an.analyze, path, meta, _neutral_audio,
+            "audio_error", "audio_traceback", cfg.request_timeout_s)
+        video_t = _DaemonTask(
+            _run_safe, video_an.analyze, path, meta, _neutral_video,
+            "video_error", "video_traceback", cfg.request_timeout_s)
+        audio, a_hint = audio_t.result()
+        video, v_hint = video_t.result()
     hints.update(a_hint)
     hints.update(v_hint)
+    COUNTERS.inc("frames_analyzed",
+                 len(video.get("timeline_ai") or []))
 
-    fused = fusion_an.fuse(audio, video, hints)
+    with timer.stage("fusion"):
+        fused = fusion_an.fuse(audio, video, hints)
     out: Dict[str, Any] = {
         "ok": True,
         "meta": {**meta, "source_url": source_url,
@@ -127,10 +137,13 @@ def analyze_path(path: str, source_url: Optional[str] = None,
         "peaks": fused["peaks"],
     }
     try:
-        forensic = meta_an.forensic_summary(path)
+        with timer.stage("forensic"):
+            forensic = meta_an.forensic_summary(path)
         if forensic:
             out["forensic"] = forensic
     except Exception:
         if cfg.debug:
             out["forensic_error"] = traceback.format_exc()
+    if cfg.profile:
+        out["profile"] = timer.report()
     return out

@@ -78,6 +78,21 @@ def build_app(analyze_fn=None) -> App:
     def readyz(req: Request) -> Response:
         return Response({"ok": True, **_ready_probe()})
 
+    @app.route("GET", "/metrics")
+    def metrics(req: Request) -> Response:
+        """Process counters — beyond-reference observability
+        (SURVEY.md §5: requests, frames/sec, batch occupancy)."""
+        from avd_tpu.serve import batching
+        from avd_tpu.utils.metrics import COUNTERS
+        snap = COUNTERS.snapshot()
+        b = batching._ACTIVE
+        if b is not None:
+            snap["batch_jobs_in"] = b.jobs_in
+            snap["batches_formed"] = b.batches_formed
+            snap["batch_fused_jobs"] = b.fused_jobs
+        return Response({"ok": True, "version": cfg.version,
+                         "metrics": snap})
+
     @app.options_catchall
     def options(req: Request) -> Response:
         return Response(status=204)

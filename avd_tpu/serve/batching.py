@@ -1,0 +1,140 @@
+"""Cross-request micro-batching queue (BASELINE.json config #5).
+
+The reference serves one request at a time (1 worker × 1 thread,
+gunicorn_conf.py:4-5); concurrent clients queue at the socket.  Here,
+concurrent requests' frame windows — same (frames, H, W) signature — are
+fused into a single ``[m, n, H, W]`` device program call so one chip's
+forward passes are shared across HTTP requests.
+
+Enable with ``AVD_BATCH_WINDOW_MS > 0``: a request's first window waits up
+to that long for co-batchable windows from other requests before launch;
+follow-up windows of an already-streaming clip keep the pipeline full, so
+the added latency is at most one batch window per request.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from avd_tpu.config import get_config
+
+_BUCKETS = (1, 2, 4, 8)
+
+
+def _bucket(m: int) -> int:
+    for b in _BUCKETS:
+        if m <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+class _Job:
+    def __init__(self, window: np.ndarray):
+        self.window = window
+        self.future: concurrent.futures.Future = concurrent.futures.Future()
+
+
+class WindowBatcher:
+    """Groups feature windows by shape and runs them fused."""
+
+    def __init__(self, window_ms: float, max_batch: int = 8):
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._lock = threading.Condition()
+        self._queues: Dict[Tuple[int, int, int], List[_Job]] = {}
+        self._threads: Dict[Tuple[int, int, int], threading.Thread] = {}
+        self.batches_formed = 0
+        self.jobs_in = 0
+        self.fused_jobs = 0  # jobs that shared a device call
+        self._closed = False
+
+    def submit(self, window: np.ndarray) -> concurrent.futures.Future:
+        key = tuple(window.shape)
+        job = _Job(window)
+        with self._lock:
+            self.jobs_in += 1
+            self._queues.setdefault(key, []).append(job)
+            if key not in self._threads:
+                t = threading.Thread(target=self._worker, args=(key,),
+                                     daemon=True, name=f"avd-batch-{key}")
+                self._threads[key] = t
+                t.start()
+            self._lock.notify_all()
+        return job.future
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+
+    # ------------------------------------------------------------------
+    def _worker(self, key: Tuple[int, int, int]) -> None:
+        while True:
+            with self._lock:
+                while not self._queues.get(key) and not self._closed:
+                    self._lock.wait(timeout=1.0)
+                if self._closed and not self._queues.get(key):
+                    return
+                deadline = time.monotonic() + self.window_s
+                while (len(self._queues[key]) < self.max_batch
+                       and time.monotonic() < deadline):
+                    self._lock.wait(timeout=max(
+                        0.001, deadline - time.monotonic()))
+                jobs = self._queues[key][:self.max_batch]
+                self._queues[key] = self._queues[key][len(jobs):]
+            if jobs:
+                self._run(key, jobs)
+
+    def _run(self, key, jobs: List[_Job]) -> None:
+        import jax.numpy as jnp
+
+        from avd_tpu.ops import video_features
+
+        n, h, w = key
+        m = len(jobs)
+        mb = _bucket(m)
+        stack = np.stack([j.window for j in jobs])
+        if mb != m:
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], mb - m, axis=0)])
+        try:
+            fn = video_features._compiled_chunk_stacked(mb, n, h, w)
+            outs = tuple(np.asarray(x) for x in fn(jnp.asarray(stack)))
+            self.batches_formed += 1
+            if m > 1:
+                self.fused_jobs += m
+            for i, job in enumerate(jobs):
+                job.future.set_result(tuple(o[i] for o in outs))
+        except BaseException as e:
+            for job in jobs:
+                if not job.future.done():
+                    job.future.set_exception(e)
+
+
+_ACTIVE: Optional[WindowBatcher] = None
+_ACTIVE_LOCK = threading.Lock()
+
+
+def active_batcher() -> Optional[WindowBatcher]:
+    """Process-wide batcher, constructed on first use when enabled."""
+    global _ACTIVE
+    cfg = get_config()
+    if cfg.batch_window_ms <= 0:
+        return None
+    with _ACTIVE_LOCK:
+        if _ACTIVE is None:
+            _ACTIVE = WindowBatcher(cfg.batch_window_ms)
+        return _ACTIVE
+
+
+def reset_active() -> None:
+    global _ACTIVE
+    with _ACTIVE_LOCK:
+        if _ACTIVE is not None:
+            _ACTIVE.close()
+        _ACTIVE = None

@@ -1,0 +1,76 @@
+"""Cross-request micro-batching: concurrent submissions share one device
+call and produce results identical to the unbatched path
+(SURVEY.md §4.5)."""
+
+import concurrent.futures
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from avd_tpu import config as config_mod
+from avd_tpu.serve import batching
+
+
+@pytest.fixture
+def batch_env():
+    os.environ["AVD_BATCH_WINDOW_MS"] = "150"
+    config_mod.reset_config()
+    batching.reset_active()
+    yield
+    os.environ.pop("AVD_BATCH_WINDOW_MS", None)
+    config_mod.reset_config()
+    batching.reset_active()
+
+
+def _window(seed, n=5, h=32, w=32):
+    return np.random.default_rng(seed).integers(
+        0, 256, (n, h, w), dtype=np.int64).astype(np.uint8)
+
+
+def test_batched_matches_unbatched(batch_env):
+    from avd_tpu.ops import video_features
+    windows = [_window(i) for i in range(4)]
+
+    # unbatched ground truth
+    batching.reset_active()
+    os.environ["AVD_BATCH_WINDOW_MS"] = "0"
+    config_mod.reset_config()
+    plain = [video_features.run_window(w) for w in windows]
+
+    os.environ["AVD_BATCH_WINDOW_MS"] = "150"
+    config_mod.reset_config()
+    batching.reset_active()
+    b = batching.active_batcher()
+    assert b is not None
+    futures = [b.submit(w) for w in windows]
+    fused = [f.result(timeout=120) for f in futures]
+
+    for p, q in zip(plain, fused):
+        for pa, qa in zip(p, q):
+            np.testing.assert_allclose(pa, qa, rtol=2e-5, atol=1e-5)
+
+
+def test_concurrent_requests_fuse(batch_env):
+    b = batching.active_batcher()
+    barrier = threading.Barrier(4)
+
+    def client(seed):
+        barrier.wait()
+        return b.submit(_window(seed)).result(timeout=120)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(client, range(4)))
+    assert len(results) == 4
+    # all four arrived inside one batch window → they must have fused
+    assert b.fused_jobs >= 2, (b.batches_formed, b.fused_jobs)
+    assert b.jobs_in == 4
+
+
+def test_disabled_returns_none():
+    os.environ["AVD_BATCH_WINDOW_MS"] = "0"
+    config_mod.reset_config()
+    batching.reset_active()
+    assert batching.active_batcher() is None
+    config_mod.reset_config()

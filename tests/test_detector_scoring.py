@@ -1,0 +1,73 @@
+"""Detector scoring integration: disabled by default (parity), attaches a
+probability timeline when enabled, blends only when asked."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avd_tpu.models import scoring
+from tests import fixtures
+
+
+@pytest.fixture
+def small_detector(monkeypatch):
+    """Shrink the ViT so CPU tests stay fast."""
+    import jax
+    from avd_tpu.models import detector
+
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=2,
+                             heads=4)
+    params = detector.init_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def probs(params, frames):
+        import jax.numpy as jnp
+        logits = detector.forward(params, frames, cfg)[:, 0]
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    monkeypatch.setattr(scoring, "_bundle",
+                        lambda: (cfg, params, probs, "test_init"))
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    yield
+
+
+def test_disabled_by_default(monkeypatch):
+    monkeypatch.delenv("AVD_DETECTOR", raising=False)
+    assert scoring.detector_timeline(
+        np.zeros((3, 64, 64, 3), np.uint8)) is None
+
+
+def test_probability_timeline(small_detector):
+    frames = fixtures.noise_clip(5, 64)
+    det = scoring.detector_timeline(frames)
+    assert det is not None
+    assert len(det["timeline"]) == 5
+    assert all(0.0 <= p <= 1.0 for p in det["timeline"])
+    assert det["weights"] == "test_init"
+
+
+def test_blend_zero_keeps_heuristic(monkeypatch):
+    monkeypatch.setenv("AVD_DETECTOR_BLEND", "0")
+    base = [0.1, 0.9]
+    assert scoring.blend(base, [0.5, 0.5]) == base
+
+
+def test_blend_mixes(monkeypatch):
+    monkeypatch.setenv("AVD_DETECTOR_BLEND", "0.5")
+    out = scoring.blend([0.0, 1.0], [1.0, 0.0])
+    np.testing.assert_allclose(out, [0.5, 0.5])
+
+
+def test_analyzer_attaches_detector(small_detector, monkeypatch, tmp_path):
+    from avd_tpu.analyzers import video as video_an
+    from avd_tpu.ingest import probe
+    monkeypatch.setenv("AVD_BACKEND", "oracle")
+    path = fixtures.write_video(tmp_path / "c.mp4",
+                                fixtures.noise_clip(30, 64), fps=30.0)
+    meta = probe.probe_basic_meta(path)
+    out = video_an.analyze(path, meta)
+    assert "detector" in out
+    assert len(out["detector"]["timeline"]) == 2  # 30 frames, step 15
+    # blend defaults to 0 → heuristic timeline untouched by detector
+    assert out["timeline"] is out["timeline_ai"]
