@@ -87,6 +87,23 @@ def load_mono_16k(path: str) -> Tuple[np.ndarray, int]:
         wav = _ffmpeg_pcm(path)
         return wav, TARGET_SR
     if path.lower().endswith(".wav"):
+        # C++ decoder (parse + downmix + windowed-sinc resample) first
+        try:
+            from avd_tpu import native
+            with open(path, "rb") as f:
+                decoded = native.wav_decode_mono(f.read())
+            if decoded is not None:
+                data, sr = decoded
+                if sr != TARGET_SR:
+                    from math import gcd
+                    g = gcd(sr, TARGET_SR)
+                    res = native.resample(data, TARGET_SR // g, sr // g)
+                    if res is not None:
+                        return res, TARGET_SR
+                else:
+                    return data, TARGET_SR
+        except Exception:
+            pass
         try:
             data, sr = _read_wav_native(path)
         except AudioExtractError:

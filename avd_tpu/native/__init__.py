@@ -1,0 +1,128 @@
+"""ctypes loader for the C++ host runtime (native/avd_native.cc).
+
+Builds lazily with g++ on first use (cached next to the sources and keyed
+by source mtime); every caller must handle ``lib() is None`` — the
+framework degrades to the pure-Python/cv2 paths when no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_SRC_DIR, "avd_native.cc")
+_SO = os.path.join(_SRC_DIR, "libavd_native.so")
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        proc = subprocess.run(
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-pthread", "-shared",
+             "-o", _SO, _SRC],
+            capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            return False
+        return True
+    except Exception:
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, or None when unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.getenv("AVD_NATIVE", "1") != "1":
+            return None
+        if not _build():
+            return None
+        try:
+            L = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        L.avd_bgr_to_gray_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+        L.avd_bgr_to_gray_u8.restype = None
+        L.avd_wav_info.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p]
+        L.avd_wav_info.restype = ctypes.c_int
+        L.avd_wav_decode_mono.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p]
+        L.avd_wav_decode_mono.restype = ctypes.c_int
+        L.avd_resample.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
+        L.avd_resample.restype = None
+        _LIB = L
+        return _LIB
+
+
+class WavInfoStruct(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_int32),
+        ("channels", ctypes.c_int32),
+        ("bits", ctypes.c_int32),
+        ("format", ctypes.c_int32),
+        ("n_frames", ctypes.c_int64),
+        ("data_offset", ctypes.c_int64),
+    ]
+
+
+def bgr_to_gray(frames) -> Optional["np.ndarray"]:
+    """[..., 3] uint8 BGR → [...] uint8 gray, threaded; None if no lib."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    out = np.empty(frames.shape[:-1], np.uint8)
+    n = out.size
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_bgr_to_gray_u8(frames.ctypes.data, out.ctypes.data, n, threads)
+    return out
+
+
+def wav_decode_mono(data: bytes):
+    """WAV bytes → (float32 mono array, sample_rate) or None."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = WavInfoStruct()
+    rc = L.avd_wav_info(buf.ctypes.data, len(data), ctypes.byref(info))
+    if rc != 0 or info.n_frames <= 0:
+        return None
+    out = np.empty(info.n_frames, np.float32)
+    rc = L.avd_wav_decode_mono(buf.ctypes.data, len(data), out.ctypes.data)
+    if rc != 0:
+        return None
+    return out, int(info.sample_rate)
+
+
+def resample(x, up: int, down: int):
+    """float32 [n] → float32 [ceil(n*up/down)] windowed-sinc resample."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n_out = -(-x.shape[0] * up // down)
+    out = np.empty(n_out, np.float32)
+    L.avd_resample(x.ctypes.data, x.shape[0], up, down,
+                   out.ctypes.data, n_out)
+    return out

@@ -115,7 +115,15 @@ def _chunk_size(h: int, w: int) -> int:
 
 
 def _to_gray_host(frames: np.ndarray) -> np.ndarray:
-    """[N, H, W, 3] BGR uint8 → [N, H, W] uint8, cv2 fixed-point exact."""
+    """[N, H, W, 3] BGR uint8 → [N, H, W] uint8, cv2 fixed-point exact.
+
+    Prefers the threaded C++ batch converter (native/avd_native.cc, one
+    call for the whole window) over per-frame cv2 calls; both produce
+    identical bytes."""
+    from avd_tpu import native
+    gray = native.bgr_to_gray(frames)
+    if gray is not None:
+        return gray
     try:
         import cv2
         return np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)

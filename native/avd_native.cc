@@ -1,0 +1,195 @@
+// avd_native — C++ host runtime for avd_tpu.
+//
+// The TPU owns the math (JAX/XLA/Pallas); this library owns the hot
+// host-side byte work that would otherwise run as per-frame Python:
+//
+//   * batched BGR→grayscale with OpenCV's exact fixed-point arithmetic
+//     (threaded across frames — feeds the device H2D path, which ships
+//     gray only; see avd_tpu/ops/video_features.py)
+//   * RIFF/WAV parsing (s16/u8/s32/f32 → float32 mono)
+//   * windowed-sinc rational resampling to the 16 kHz analysis rate
+//     (role of the reference's `ffmpeg -ac 1 -ar 16000`, audio.py:10)
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Build: see native/Makefile (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGR -> gray, cv2 fixed-point semantics: (R*9798 + G*19235 + B*3735 +
+// 16384) >> 15  (verified bit-exact against cv2 5.0).
+// ---------------------------------------------------------------------------
+static void gray_span(const uint8_t* bgr, uint8_t* gray, int64_t begin,
+                      int64_t end) {
+  for (int64_t i = begin; i < end; ++i) {
+    const uint8_t* p = bgr + i * 3;
+    const uint32_t acc = 3735u * p[0] + 19235u * p[1] + 9798u * p[2] + 16384u;
+    gray[i] = static_cast<uint8_t>(acc >> 15);
+  }
+}
+
+void avd_bgr_to_gray_u8(const uint8_t* bgr, uint8_t* gray, int64_t n_pixels,
+                        int n_threads) {
+  if (n_threads <= 1 || n_pixels < (1 << 16)) {
+    gray_span(bgr, gray, 0, n_pixels);
+    return;
+  }
+  const int nt = std::min<int64_t>(n_threads, 64);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  const int64_t step = (n_pixels + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t b = t * step;
+    const int64_t e = std::min<int64_t>(b + step, n_pixels);
+    if (b >= e) break;
+    workers.emplace_back(gray_span, bgr, gray, b, e);
+  }
+  for (auto& w : workers) w.join();
+}
+
+// ---------------------------------------------------------------------------
+// WAV parsing.
+// ---------------------------------------------------------------------------
+struct WavInfo {
+  int32_t sample_rate;
+  int32_t channels;
+  int32_t bits;
+  int32_t format;     // 1 = PCM, 3 = IEEE float
+  int64_t n_frames;
+  int64_t data_offset;
+};
+
+static uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+static uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+// Returns 0 on success, negative error code otherwise.
+int avd_wav_info(const uint8_t* data, int64_t len, WavInfo* out) {
+  if (len < 44 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  bool have_fmt = false;
+  std::memset(out, 0, sizeof(WavInfo));
+  while (pos + 8 <= len) {
+    const uint32_t chunk_len = rd_u32(data + pos + 4);
+    if (std::memcmp(data + pos, "fmt ", 4) == 0 && pos + 8 + 16 <= len) {
+      const uint8_t* f = data + pos + 8;
+      out->format = rd_u16(f);
+      if (out->format == 0xFFFE && chunk_len >= 40)  // WAVE_FORMAT_EXTENSIBLE
+        out->format = rd_u16(f + 24);
+      out->channels = rd_u16(f + 2);
+      out->sample_rate = static_cast<int32_t>(rd_u32(f + 4));
+      out->bits = rd_u16(f + 14);
+      have_fmt = true;
+    } else if (std::memcmp(data + pos, "data", 4) == 0) {
+      out->data_offset = pos + 8;
+      const int64_t avail = std::min<int64_t>(chunk_len, len - out->data_offset);
+      if (have_fmt && out->channels > 0 && out->bits >= 8)
+        out->n_frames = avail / (out->channels * (out->bits / 8));
+      return have_fmt ? 0 : -2;
+    }
+    pos += 8 + chunk_len + (chunk_len & 1);
+  }
+  return -3;
+}
+
+// Decode to float32, downmixing channels by averaging (role of
+// `ffmpeg -ac 1`).  `out` must hold n_frames floats.  Returns 0 or error.
+int avd_wav_decode_mono(const uint8_t* data, int64_t len, float* out) {
+  WavInfo info;
+  const int rc = avd_wav_info(data, len, &info);
+  if (rc != 0) return rc;
+  const uint8_t* s = data + info.data_offset;
+  const int ch = info.channels;
+  const double inv_ch = 1.0 / ch;
+  for (int64_t i = 0; i < info.n_frames; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < ch; ++c) {
+      const int64_t idx = (i * ch + c);
+      switch (info.bits) {
+        case 8:
+          acc += (static_cast<int>(s[idx]) - 128) / 128.0;
+          break;
+        case 16: {
+          int16_t v;
+          std::memcpy(&v, s + idx * 2, 2);
+          acc += v / 32768.0;
+          break;
+        }
+        case 32: {
+          if (info.format == 3) {
+            float v;
+            std::memcpy(&v, s + idx * 4, 4);
+            acc += v;
+          } else {
+            int32_t v;
+            std::memcpy(&v, s + idx * 4, 4);
+            acc += v / 2147483648.0;
+          }
+          break;
+        }
+        case 24: {
+          const uint8_t* b = s + idx * 3;
+          int32_t v = (b[0] << 8) | (b[1] << 16) |
+                      (static_cast<int32_t>(static_cast<int8_t>(b[2])) << 24);
+          acc += v / 2147483648.0;
+          break;
+        }
+        default:
+          return -4;
+      }
+    }
+    out[i] = static_cast<float>(acc * inv_ch);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Rational resampler: windowed-sinc polyphase, Hann window, 16 taps per
+// phase per side.  out must hold ceil(n_in * up / down) floats.
+// ---------------------------------------------------------------------------
+void avd_resample(const float* in, int64_t n_in, int32_t up, int32_t down,
+                  float* out, int64_t n_out) {
+  if (up == down) {
+    std::memcpy(out, in, sizeof(float) * std::min(n_in, n_out));
+    return;
+  }
+  const double cutoff = 0.5 * std::min(1.0, static_cast<double>(up) / down);
+  const int half_taps = 16;
+  for (int64_t j = 0; j < n_out; ++j) {
+    // output sample j sits at input position j * down / up
+    const double pos = static_cast<double>(j) * down / up;
+    const int64_t center = static_cast<int64_t>(std::floor(pos));
+    double acc = 0.0, wsum = 0.0;
+    for (int64_t k = center - half_taps + 1; k <= center + half_taps; ++k) {
+      const double x = pos - static_cast<double>(k);
+      const double sinc_arg = 2.0 * cutoff * x;
+      double sinc = 1.0;
+      if (std::abs(sinc_arg) > 1e-9)
+        sinc = std::sin(M_PI * sinc_arg) / (M_PI * sinc_arg);
+      const double win =
+          0.5 + 0.5 * std::cos(M_PI * x / (half_taps + 1));
+      const double w = 2.0 * cutoff * sinc * win;
+      wsum += w;
+      const int64_t idx = std::clamp<int64_t>(k, 0, n_in - 1);
+      acc += w * (n_in > 0 ? in[idx] : 0.0);
+    }
+    // dividing by the per-phase tap sum keeps DC gain exactly 1
+    out[j] = static_cast<float>(acc / (wsum == 0.0 ? 1.0 : wsum));
+  }
+}
+
+}  // extern "C"
