@@ -35,10 +35,55 @@ def _backend() -> str:
 
 
 def analyze(path: str, meta: dict) -> Dict[str, Any]:
+    if _backend() != "oracle" and os.getenv("AVD_STREAM", "1") == "1" \
+            and not _detector_on():
+        return _analyze_streaming(path, meta)
     fb = video_reader.read_sampled(path, meta)
     if fb is None:
         return _empty_result()
     return analyze_batch(fb)
+
+
+def _detector_on() -> bool:
+    from avd_tpu.models import scoring
+    return scoring.enabled()
+
+
+def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
+    """File path analysis with chunked decode overlapped against async
+    device dispatch — memory-bounded for long/4K clips."""
+    from avd_tpu.ops import video_features
+    from avd_tpu.oracle import video_ref
+
+    cap = video_reader.open_capture(path)
+    if cap is None:
+        return _empty_result()
+    cap.release()
+
+    holder: Dict[str, Any] = {}
+
+    def chunks():
+        for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32):
+            holder.setdefault("fb", fb)
+            yield fb.frames
+
+    feats = video_features.compute_features_streaming(chunks())
+    fb = holder.get("fb")
+    if fb is None:  # zero decodable frames
+        import cv2
+        c = cv2.VideoCapture(path)
+        fps = meta.get("fps") or c.get(cv2.CAP_PROP_FPS) or 0.0
+        w = meta.get("width") or int(c.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+        h = meta.get("height") or int(c.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+        duration = meta.get("duration") or (
+            c.get(cv2.CAP_PROP_FRAME_COUNT) / fps if fps > 0 else 0.0)
+        c.release()
+        out = video_ref.summarize(feats, w, h, fps, duration)
+    else:
+        out = video_ref.summarize(feats, fb.width, fb.height, fb.fps,
+                                  fb.duration)
+    out["timeline_ai"] = out["timeline"]
+    return out
 
 
 def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:

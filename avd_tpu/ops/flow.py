@@ -186,7 +186,10 @@ def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
     0 <= floor(coord) < size-1.
     """
     B, H, W, C = R1.shape
-    if _pallas_warp_enabled() and H % 40 == 0:
+    # Pallas pays off where the gather is expensive; the small pyramid
+    # levels stay on the XLA path (their gathers are cheap and each extra
+    # Pallas shape costs minutes of one-time Mosaic compile).
+    if _pallas_warp_enabled() and H % 40 == 0 and H >= 160:
         from avd_tpu.ops.pallas import warp as pallas_warp
         warped = pallas_warp.warp_bilinear(
             jnp.transpose(R1, (0, 3, 1, 2)),

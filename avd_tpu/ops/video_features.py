@@ -207,3 +207,82 @@ def analyze_frames(frames: np.ndarray, w: int, h: int, fps: float,
     oracle.video_ref.analyze_frames)."""
     feats = compute_features(frames)
     return video_ref.summarize(feats, w, h, fps, duration)
+
+
+def compute_features_streaming(chunk_iter) -> Dict:
+    """Streaming variant: consume an iterator of [k, H, W, 3] BGR chunks.
+
+    Device calls are dispatched asynchronously as windows fill, so decode
+    (host) overlaps feature extraction (device) — the double-buffered
+    pipeline for long/4K clips (BASELINE.json config #3).  Results are
+    identical to compute_features() on the concatenated frames.
+    """
+    import jax.numpy as jnp
+
+    pend: list = []      # (device_outs, valid, is_first)
+    held: np.ndarray | None = None
+    prev_last: np.ndarray | None = None
+    chunk = None
+    fn = None
+    n_total = 0
+
+    def dispatch(body: np.ndarray):
+        nonlocal prev_last
+        valid = body.shape[0]
+        lead = prev_last if prev_last is not None else body[0]
+        window = np.concatenate([lead[None], body])
+        if window.shape[0] < chunk + 1:
+            pad = np.repeat(window[-1:], chunk + 1 - window.shape[0], axis=0)
+            window = np.concatenate([window, pad])
+        outs = fn(jnp.asarray(window))  # async — do not fetch yet
+        pend.append((outs, valid, prev_last is None))
+        prev_last = body[-1]
+
+    for frames in chunk_iter:
+        if frames.shape[0] == 0:
+            continue
+        gray = _to_gray_host(frames)
+        if chunk is None:
+            h, w = gray.shape[1:3]
+            chunk = _chunk_size(h, w)
+            fn = _compiled_chunk(chunk + 1, h, w)
+        buf = gray if held is None else np.concatenate([held, gray])
+        held = None
+        while buf.shape[0] >= chunk:
+            dispatch(buf[:chunk])
+            n_total += chunk
+            buf = buf[chunk:]
+        held = buf if buf.shape[0] else None
+    if held is not None and held.shape[0]:
+        n_total += held.shape[0]
+        dispatch(held)
+
+    feats = {"dup": 0, "total": n_total, "flow_means": [], "flow_vars": [],
+             "textures": [], "timeline_ai": []}
+    if n_total == 0:
+        return feats
+
+    tex_all: list = []
+    ham_all: list = []
+    fmean_all: list = []
+    fvar_all: list = []
+    for outs, valid, is_first in pend:
+        tex, ham, fmean, fvar = (np.asarray(x) for x in outs)
+        tex_all.extend(tex[1:1 + valid].tolist())
+        lo = 1 if is_first else 0
+        ham_all.extend(ham[lo:valid].tolist())
+        fmean_all.extend(fmean[lo:valid].tolist())
+        fvar_all.extend(fvar[lo:valid].tolist())
+
+    feats["textures"] = [float(t) for t in tex_all]
+    feats["flow_means"] = [float(x) for x in fmean_all]
+    feats["flow_vars"] = [float(x) for x in fvar_all]
+    feats["dup"] = int(sum(1 for hm in ham_all if hm == 0))
+    timeline = []
+    for i in range(n_total):
+        tex = feats["textures"][i]
+        mot = feats["flow_means"][i - 1] if i > 0 else 0.0
+        timeline.append(float(np.clip(
+            1.0 - (tex / (tex + 1000.0)) * (1.0 + mot), 0.0, 1.0)))
+    feats["timeline_ai"] = timeline
+    return feats
