@@ -1,0 +1,159 @@
+"""Detector training driver.
+
+``python -m avd_tpu.models.train --steps 200 --out /path/ckpt``
+
+Trains the per-frame ViT on synthetic supervision by default (procedurally
+generated "camera-like" vs "generator-like" frames — high-frequency sensor
+noise vs over-smooth textures, the same cues the reference's heuristics
+key on) so the full train→checkpoint→serve loop is exercisable without a
+dataset; point ``--data`` at a directory of ``real/``/``ai/`` frame
+folders for actual training.
+
+The step runs under a (data, model) mesh when more than one device is
+visible — the same dp×tp shardings validated by __graft_entry__'s
+multichip dry run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, size: int):
+    """Procedural real-vs-AI frames: labels 1 = AI-like (over-smooth)."""
+    frames = np.empty((batch, size, size, 3), np.float32)
+    labels = np.empty((batch,), np.int32)
+    for i in range(batch):
+        ai_like = rng.random() < 0.5
+        base = rng.random((size, size, 3)).astype(np.float32)
+        if ai_like:
+            # over-smooth, low-texture render
+            k = max(3, size // 8)
+            kernel = np.ones(k) / k
+            for ax in (0, 1):
+                base = np.apply_along_axis(
+                    lambda m: np.convolve(m, kernel, mode="same"), ax, base)
+        else:
+            base = 0.6 * base + 0.4 * rng.random(
+                (size, size, 3)).astype(np.float32)
+        frames[i] = np.clip(base, 0, 1)
+        labels[i] = 1 if ai_like else 0
+    return frames, labels
+
+
+def _dir_batches(root: str, rng, batch: int, size: int):
+    """Yield (frames, labels) from real/ and ai/ image folders."""
+    import os
+
+    import cv2
+    pools = []
+    for label, sub in ((0, "real"), (1, "ai")):
+        d = os.path.join(root, sub)
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))] \
+            if os.path.isdir(d) else []
+        pools.append((label, files))
+    while True:
+        frames = np.empty((batch, size, size, 3), np.float32)
+        labels = np.empty((batch,), np.int32)
+        for i in range(batch):
+            label, files = pools[rng.integers(0, 2)]
+            img = cv2.imread(files[rng.integers(0, len(files))])
+            img = cv2.resize(img, (size, size))[..., ::-1]
+            frames[i] = img.astype(np.float32) / 255.0
+            labels[i] = label
+        yield frames, labels
+
+
+def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
+          out: str | None = None, data: str | None = None,
+          image_size: int = 64, width: int = 256, depth: int = 4,
+          heads: int = 4, log_every: int = 10, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.models import detector
+    from avd_tpu.parallel import mesh as mesh_mod
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+
+    cfg = detector.ViTConfig(image_size=image_size, patch=16, width=width,
+                             depth=depth, heads=heads)
+    params = detector.init_params(jax.random.PRNGKey(seed), cfg)
+    optimizer = detector.make_optimizer(lr)
+
+    n_dev = len(jax.devices())
+    sharded = n_dev > 1
+    mesh = None
+    if sharded:
+        mesh = mesh_mod.make_mesh(n_dev, axes=("data", "model"))
+        params = mesh_mod.shard_params(mesh, params,
+                                       detector.param_specs(cfg))
+    opt_state = optimizer.init(params)
+    step_fn = jax.jit(detector.make_train_step(cfg, optimizer,
+                                               sharded=sharded))
+
+    rng = np.random.default_rng(seed)
+    batches = (_dir_batches(data, rng, batch, image_size) if data else None)
+
+    losses = []
+    ctx = mesh or _nullcontext()
+    with ctx:
+        t0 = time.time()
+        for step in range(steps):
+            if batches is not None:
+                frames, labels = next(batches)
+            else:
+                frames, labels = synthetic_batch(rng, batch, image_size)
+            fb = jnp.asarray(frames)
+            lb = jnp.asarray(labels)
+            if sharded:
+                bs = mesh_mod.batch_sharding(mesh)
+                fb = jax.device_put(fb, bs)
+                lb = jax.device_put(lb, bs)
+            params, opt_state, loss = step_fn(params, opt_state, fb, lb)
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                rate = (step + 1) * batch / (time.time() - t0)
+                print(f"step {step:5d}  loss {losses[-1]:.4f}  "
+                      f"{rate:.1f} frames/s", flush=True)
+
+    if out:
+        detector.save_checkpoint(out, jax.device_get(params))
+        print(f"checkpoint written to {out}", flush=True)
+    return params, losses
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Train the per-frame detector")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--data", default=None,
+                    help="dataset dir with real/ and ai/ image folders")
+    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
+    args = ap.parse_args()
+    _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
+                      out=args.out, data=args.data,
+                      image_size=args.image_size, width=args.width,
+                      depth=args.depth, heads=args.heads)
+    print(f"final loss {losses[-1]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

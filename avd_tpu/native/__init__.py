@@ -67,6 +67,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64]
         L.avd_resample.restype = None
+        L.avd_laplacian_var.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int]
+        L.avd_laplacian_var.restype = None
         _LIB = L
         return _LIB
 
@@ -112,6 +116,21 @@ def wav_decode_mono(data: bytes):
     if rc != 0:
         return None
     return out, int(info.sample_rate)
+
+
+def laplacian_var(gray) -> Optional["np.ndarray"]:
+    """[N, H, W] uint8 → [N] float64 Laplacian variances (cv2 CV_64F
+    semantics), threaded across frames; None if no lib."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    gray = np.ascontiguousarray(gray, np.uint8)
+    n, h, w = gray.shape
+    out = np.empty(n, np.float64)
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_laplacian_var(gray.ctypes.data, n, h, w, out.ctypes.data, threads)
+    return out
 
 
 def resample(x, up: int, down: int):

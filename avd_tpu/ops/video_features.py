@@ -1,21 +1,34 @@
 """Batched per-frame video features — the TPU replacement for the
 reference's decode-loop compute (/root/reference/app/analyzers/video.py:27-58).
 
-One jitted program per (chunk, H, W) consumes a uint8 frame window and
-returns ONLY per-frame scalars:
+Per window of sampled frames the pipeline produces ONLY per-frame scalars:
 
-    texture[k]     Laplacian variance at full resolution
+    texture[k]     Laplacian variance at full resolution (video.py:51-52)
     hamming[k]     Hamming distance between consecutive 32×32 avg-hashes
     flow_mean[k]   mean |Farnebäck flow| on 320×320 gray, pair (k, k+1)
     flow_var[k]    population variance of |flow| per pair
 
-so HBM traffic is one pass over the frames and the host↔device transfer is
-O(frames), not O(pixels).  Clips longer than the chunk stream through the
-same compiled program with a one-frame lead-in (consecutive-pair features
-need the previous frame), giving static shapes for XLA while supporting any
-clip length.  Aggregation/timeline assembly runs on host in float64 via the
-same code path as the oracle (``avd_tpu.oracle.video_ref.summarize``) —
-parity by construction for everything downstream of the per-frame features.
+Two preprocessing placements (``AVD_PREP``):
+
+``host`` (default)
+    The host performs the *reference's own* cheap cv2 ops — grayscale,
+    320×320 INTER_LINEAR, 32×32 INTER_AREA (bit-identical to
+    video.py:5,43) — plus the Laplacian variance in threaded C++
+    (native/avd_native.cc, cv2 CV_64F semantics).  Only ~105 KB/frame
+    ships to the device, which runs the one genuinely expensive stage:
+    batched Farnebäck flow over all pairs.  A single device program shape
+    serves every video resolution.
+
+``device``
+    Full-resolution gray ships to the device; resizes become MXU matmuls
+    and the Laplacian a fused stencil.  Right when host CPU is scarce and
+    the host↔device link is wide (PCIe); ~2 MB/frame at 1080p.
+
+Clips longer than the chunk stream through the same compiled program with
+a one-frame lead-in (consecutive-pair features need the previous frame).
+Aggregation/timeline assembly runs on host in float64 via the same code
+path as the oracle (``avd_tpu.oracle.video_ref.summarize``) — parity by
+construction for everything downstream of the per-frame features.
 """
 
 from __future__ import annotations
@@ -28,22 +41,24 @@ import numpy as np
 
 from avd_tpu.oracle import video_ref
 
-# Frames per device chunk (excluding the 1-frame lead-in).  48 frames at
-# 1080p keeps the f32 gray + Laplacian intermediates well under 1 GB HBM.
+# Frames per device chunk (excluding the 1-frame lead-in).
 _DEFAULT_CHUNK = int(os.getenv("AVD_VIDEO_CHUNK", "48"))
 
 _FLOW_SIZE = 320  # reference flow resolution (video.py:43)
 _HASH_SIZE = 32   # reference hash resolution (video.py:4)
 
 
-def _feature_body(gray_u8, h: int, w: int):
-    """Per-window feature computation over a [N, H, W] uint8 gray window.
+def _prep_mode() -> str:
+    return os.getenv("AVD_PREP", "host")
 
-    Grayscale happens on the host (cv2's fixed-point conversion, bit-exact
-    with the reference and ~1 ms/frame next to a ~10 ms decode): every
-    feature the reference computes consumes gray only (video.py:5,43,51),
-    so shipping BGR to the device would triple H2D traffic for nothing.
-    """
+
+# ---------------------------------------------------------------------------
+# device programs
+# ---------------------------------------------------------------------------
+
+def _feature_body(gray_u8, h: int, w: int):
+    """Device-prep variant: full feature set from a [N, H, W] uint8 gray
+    window (resizes as matmuls on the MXU)."""
     import jax.numpy as jnp
 
     from avd_tpu.ops import flow, hashing, laplacian, resize
@@ -57,19 +72,31 @@ def _feature_body(gray_u8, h: int, w: int):
 
     tex = laplacian.texture_variance(gray)
 
-    # hash on rounded 32×32 area-average (cv2 resizes to uint8)
-    small = resize.resize_matmul(gray, area_r, area_c)
-    small = jnp.round(small)
+    small = jnp.round(resize.resize_matmul(gray, area_r, area_c))
     bits = hashing.average_hash_bits(small)
     ham = hashing.consecutive_hamming(bits)
 
-    # flow input: cv2 INTER_LINEAR uint8 resize to 320×320
     fsmall = resize.resize_matmul(gray, lin_r, lin_c)
     fsmall = jnp.clip(jnp.round(fsmall), 0.0, 255.0)
     fl = flow.farneback_flow(fsmall[:-1], fsmall[1:])
     fmean, fvar = flow.flow_magnitude_stats(fl)
 
     return tex, ham, fmean, fvar
+
+
+def _prep_body(flow_u8, hash_u8):
+    """Host-prep variant: pair features from pre-resized windows
+    ([N, 320, 320] and [N, 32, 32] uint8)."""
+    import jax.numpy as jnp
+
+    from avd_tpu.ops import flow, hashing
+
+    bits = hashing.average_hash_bits(hash_u8.astype(jnp.float32))
+    ham = hashing.consecutive_hamming(bits)
+    fs = flow_u8.astype(jnp.float32)
+    fl = flow.farneback_flow(fs[:-1], fs[1:])
+    fmean, fvar = flow.flow_magnitude_stats(fl)
+    return ham, fmean, fvar
 
 
 @functools.lru_cache(maxsize=16)
@@ -79,6 +106,16 @@ def _compiled_chunk(n_frames: int, h: int, w: int):
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
     return jax.jit(functools.partial(_feature_body, h=h, w=w))
+
+
+@functools.lru_cache(maxsize=4)
+def _compiled_prep_chunk(n_frames: int):
+    """jit program over pre-resized windows — one shape for every video
+    resolution."""
+    import jax
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    return jax.jit(_prep_body)
 
 
 @functools.lru_cache(maxsize=16)
@@ -93,8 +130,8 @@ def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
 
 
 def run_window(window_gray_u8: np.ndarray):
-    """Execute the feature program for one window, via the cross-request
-    batcher when serving has one enabled."""
+    """Execute the device-prep feature program for one window, via the
+    cross-request batcher when serving has one enabled."""
     import jax.numpy as jnp
 
     from avd_tpu.serve import batching
@@ -106,8 +143,12 @@ def run_window(window_gray_u8: np.ndarray):
     return tuple(np.asarray(x) for x in fn(jnp.asarray(window_gray_u8)))
 
 
+# ---------------------------------------------------------------------------
+# host preprocessing
+# ---------------------------------------------------------------------------
+
 def _chunk_size(h: int, w: int) -> int:
-    # shrink the chunk for very large frames to bound HBM intermediates
+    # shrink the device-prep chunk for very large frames to bound HBM
     pixels = h * w
     if pixels > 1920 * 1080:
         return max(8, _DEFAULT_CHUNK // 4)
@@ -135,62 +176,71 @@ def _to_gray_host(frames: np.ndarray) -> np.ndarray:
         return (acc >> 15).astype(np.uint8)
 
 
-def compute_features(frames: np.ndarray) -> Dict:
-    """Per-frame feature lists for a [N, H, W, 3] uint8 BGR batch.
+def _lap_var_host(gray: np.ndarray) -> np.ndarray:
+    """[N, H, W] uint8 → [N] float64, cv2.Laplacian(CV_64F).var()
+    semantics; threaded C++ with numpy fallback."""
+    from avd_tpu import native
+    out = native.laplacian_var(gray)
+    if out is not None:
+        return out
+    g = gray.astype(np.float64)
+    up = np.concatenate([g[:, 1:2], g[:, :-1]], axis=1)
+    dn = np.concatenate([g[:, 1:], g[:, -2:-1]], axis=1)
+    lf = np.concatenate([g[:, :, 1:2], g[:, :, :-1]], axis=2)
+    rt = np.concatenate([g[:, :, 1:], g[:, :, -2:-1]], axis=2)
+    lap = up + dn + lf + rt - 4.0 * g
+    return lap.var(axis=(1, 2))
 
-    Output dict matches ``oracle.video_ref.compute_features`` so the same
-    summarize() assembles the analyzer result.
-    """
-    import jax.numpy as jnp
 
-    n = frames.shape[0]
-    feats = {"dup": 0, "total": n, "flow_means": [], "flow_vars": [],
-             "textures": [], "timeline_ai": []}
-    if n == 0:
-        return feats
+def _host_prep(frames_bgr: np.ndarray):
+    """Reference-exact host preprocessing for a BGR frame batch →
+    (flow_input [N,320,320] u8, hash_input [N,32,32] u8, tex [N] f64)."""
+    import concurrent.futures
 
-    frames = _to_gray_host(frames)
-    h, w = frames.shape[1:3]
-    chunk = _chunk_size(h, w)
+    gray = _to_gray_host(frames_bgr)
+    n = gray.shape[0]
+    small320 = np.empty((n, _FLOW_SIZE, _FLOW_SIZE), np.uint8)
+    small32 = np.empty((n, _HASH_SIZE, _HASH_SIZE), np.uint8)
+    try:
+        import cv2
 
-    tex_all: list = []
-    ham_all: list = []
-    fmean_all: list = []
-    fvar_all: list = []
+        def work(i):
+            small320[i] = cv2.resize(gray[i], (_FLOW_SIZE, _FLOW_SIZE),
+                                     interpolation=cv2.INTER_LINEAR)
+            small32[i] = cv2.resize(gray[i], (_HASH_SIZE, _HASH_SIZE),
+                                    interpolation=cv2.INTER_AREA)
 
-    start = 0
-    while start < n:
-        valid = min(chunk, n - start)
-        # window = lead-in frame + `chunk` frames (padded by repetition)
-        lead = frames[start - 1] if start > 0 else frames[0]
-        body = frames[start:start + valid]
-        window = np.concatenate([lead[None], body])
-        if valid < chunk:
-            pad = np.repeat(window[-1:], chunk - valid, axis=0)
-            window = np.concatenate([window, pad])
-
-        tex, ham, fmean, fvar = run_window(window)
-
-        # window index 0 is the lead-in: drop its texture; pair i is
-        # (window[i], window[i+1]) → global pair (start-1+i, start+i).
-        tex_all.extend(tex[1:1 + valid].tolist())
-        if start == 0:
-            # lead-in duplicates frame 0 → pair 0 is (f0, f0): drop it.
-            ham_all.extend(ham[1:valid].tolist())
-            fmean_all.extend(fmean[1:valid].tolist())
-            fvar_all.extend(fvar[1:valid].tolist())
+        if n > 4:
+            with concurrent.futures.ThreadPoolExecutor(8) as pool:
+                list(pool.map(work, range(n)))
         else:
-            ham_all.extend(ham[:valid].tolist())
-            fmean_all.extend(fmean[:valid].tolist())
-            fvar_all.extend(fvar[:valid].tolist())
-        start += valid
+            for i in range(n):
+                work(i)
+    except ImportError:
+        from avd_tpu.ops import resize as rz
+        g = gray.astype(np.float32)
+        lr = rz.linear_matrix(gray.shape[1], _FLOW_SIZE, quantize=True)
+        lc = rz.linear_matrix(gray.shape[2], _FLOW_SIZE, quantize=True)
+        small320[:] = np.clip(np.round(
+            np.einsum("nhw,oh,pw->nop", g, lr, lc)), 0, 255)
+        ar = rz.area_matrix(gray.shape[1], _HASH_SIZE)
+        ac = rz.area_matrix(gray.shape[2], _HASH_SIZE)
+        small32[:] = np.clip(np.round(
+            np.einsum("nhw,oh,pw->nop", g, ar, ac)), 0, 255)
+    tex = _lap_var_host(gray)
+    return small320, small32, tex
 
+
+# ---------------------------------------------------------------------------
+# feature assembly
+# ---------------------------------------------------------------------------
+
+def _assemble(feats: Dict, tex_all, ham_all, fmean_all, fvar_all) -> Dict:
+    n = feats["total"]
     feats["textures"] = [float(t) for t in tex_all]
     feats["flow_means"] = [float(x) for x in fmean_all]
     feats["flow_vars"] = [float(x) for x in fvar_all]
     feats["dup"] = int(sum(1 for hm in ham_all if hm == 0))
-
-    # per-frame AI suspicion (video.py:54-57), float64 on host
     timeline = []
     for i in range(n):
         tex = feats["textures"][i]
@@ -201,60 +251,135 @@ def compute_features(frames: np.ndarray) -> Dict:
     return feats
 
 
-def analyze_frames(frames: np.ndarray, w: int, h: int, fps: float,
-                   duration: float) -> Dict:
-    """Full TPU video analysis over a decoded batch (mirrors
-    oracle.video_ref.analyze_frames)."""
-    feats = compute_features(frames)
-    return video_ref.summarize(feats, w, h, fps, duration)
+def _window_slices(start: int, valid: int, tex, ham, fmean, fvar,
+                   sinks) -> None:
+    """Distribute one window's outputs into the global feature lists.
+
+    Window index 0 is the lead-in; pair i is (window[i], window[i+1]).
+    For the first window the lead-in duplicates frame 0, so pair 0 is the
+    (f0, f0) artifact and is dropped."""
+    tex_all, ham_all, fmean_all, fvar_all = sinks
+    if tex is not None:
+        tex_all.extend(np.asarray(tex)[1:1 + valid].tolist())
+    lo = 1 if start == 0 else 0
+    ham_all.extend(np.asarray(ham)[lo:valid].tolist())
+    fmean_all.extend(np.asarray(fmean)[lo:valid].tolist())
+    fvar_all.extend(np.asarray(fvar)[lo:valid].tolist())
+
+
+def _pad_window(window: np.ndarray, target: int) -> np.ndarray:
+    if window.shape[0] < target:
+        pad = np.repeat(window[-1:], target - window.shape[0], axis=0)
+        window = np.concatenate([window, pad])
+    return window
+
+
+def compute_features(frames: np.ndarray) -> Dict:
+    """Per-frame feature lists for a [N, H, W, 3] uint8 BGR batch.
+
+    Output dict matches ``oracle.video_ref.compute_features`` so the same
+    summarize() assembles the analyzer result.
+    """
+    n = frames.shape[0]
+    feats = {"dup": 0, "total": n, "flow_means": [], "flow_vars": [],
+             "textures": [], "timeline_ai": []}
+    if n == 0:
+        return feats
+
+    sinks = ([], [], [], [])
+    if _prep_mode() == "host":
+        import jax.numpy as jnp
+        small320, small32, tex = _host_prep(frames)
+        chunk = _DEFAULT_CHUNK
+        fn = _compiled_prep_chunk(chunk + 1)
+        start = 0
+        while start < n:
+            valid = min(chunk, n - start)
+            lo = start - 1 if start > 0 else 0
+            w320 = _pad_window(
+                np.concatenate([small320[lo:lo + 1],
+                                small320[start:start + valid]]), chunk + 1)
+            w32 = _pad_window(
+                np.concatenate([small32[lo:lo + 1],
+                                small32[start:start + valid]]), chunk + 1)
+            ham, fmean, fvar = fn(jnp.asarray(w320), jnp.asarray(w32))
+            _window_slices(start, valid, None, ham, fmean, fvar, sinks)
+            start += valid
+        sinks = (list(tex),) + tuple(sinks[1:])
+    else:
+        gray = _to_gray_host(frames)
+        h, w = gray.shape[1:3]
+        chunk = _chunk_size(h, w)
+        start = 0
+        while start < n:
+            valid = min(chunk, n - start)
+            lead = gray[start - 1] if start > 0 else gray[0]
+            window = _pad_window(
+                np.concatenate([lead[None], gray[start:start + valid]]),
+                chunk + 1)
+            tex, ham, fmean, fvar = run_window(window)
+            _window_slices(start, valid, tex, ham, fmean, fvar, sinks)
+            start += valid
+
+    return _assemble(feats, *sinks)
 
 
 def compute_features_streaming(chunk_iter) -> Dict:
     """Streaming variant: consume an iterator of [k, H, W, 3] BGR chunks.
 
     Device calls are dispatched asynchronously as windows fill, so decode
-    (host) overlaps feature extraction (device) — the double-buffered
+    and host preprocessing overlap device compute — the double-buffered
     pipeline for long/4K clips (BASELINE.json config #3).  Results are
     identical to compute_features() on the concatenated frames.
     """
     import jax.numpy as jnp
 
+    host_mode = _prep_mode() == "host"
+    chunk = _DEFAULT_CHUNK if host_mode else None
+    fn = _compiled_prep_chunk(chunk + 1) if host_mode else None
+
     pend: list = []      # (device_outs, valid, is_first)
-    held: np.ndarray | None = None
-    prev_last: np.ndarray | None = None
-    chunk = None
-    fn = None
+    tex_parts: list = []
+    held = None          # tuple of np arrays not yet dispatched
+    prev_last = None     # tuple of lead-in frames
     n_total = 0
 
-    def dispatch(body: np.ndarray):
+    def dispatch(parts):
         nonlocal prev_last
-        valid = body.shape[0]
-        lead = prev_last if prev_last is not None else body[0]
-        window = np.concatenate([lead[None], body])
-        if window.shape[0] < chunk + 1:
-            pad = np.repeat(window[-1:], chunk + 1 - window.shape[0], axis=0)
-            window = np.concatenate([window, pad])
-        outs = fn(jnp.asarray(window))  # async — do not fetch yet
+        valid = parts[0].shape[0]
+        leads = prev_last if prev_last is not None else \
+            tuple(p[0] for p in parts)
+        windows = [_pad_window(np.concatenate([ld[None], p]), chunk + 1)
+                   for ld, p in zip(leads, parts)]
+        outs = fn(*(jnp.asarray(w) for w in windows))  # async
         pend.append((outs, valid, prev_last is None))
-        prev_last = body[-1]
+        prev_last = tuple(p[-1] for p in parts)
 
     for frames in chunk_iter:
         if frames.shape[0] == 0:
             continue
-        gray = _to_gray_host(frames)
-        if chunk is None:
-            h, w = gray.shape[1:3]
-            chunk = _chunk_size(h, w)
-            fn = _compiled_chunk(chunk + 1, h, w)
-        buf = gray if held is None else np.concatenate([held, gray])
-        held = None
-        while buf.shape[0] >= chunk:
-            dispatch(buf[:chunk])
+        if host_mode:
+            s320, s32, tex = _host_prep(frames)
+            tex_parts.append(tex)
+            parts = (s320, s32)
+        else:
+            gray = _to_gray_host(frames)
+            if chunk is None:
+                h, w = gray.shape[1:3]
+                chunk = _chunk_size(h, w)
+                fn = _compiled_chunk(chunk + 1, h, w)
+            parts = (gray,)
+        if held is not None:
+            parts = tuple(np.concatenate([h_, p])
+                          for h_, p in zip(held, parts))
+            held = None
+        while parts[0].shape[0] >= chunk:
+            dispatch(tuple(p[:chunk] for p in parts))
             n_total += chunk
-            buf = buf[chunk:]
-        held = buf if buf.shape[0] else None
-    if held is not None and held.shape[0]:
-        n_total += held.shape[0]
+            parts = tuple(p[chunk:] for p in parts)
+        held = parts if parts[0].shape[0] else None
+    if held is not None and held[0].shape[0]:
+        n_total += held[0].shape[0]
         dispatch(held)
 
     feats = {"dup": 0, "total": n_total, "flow_means": [], "flow_vars": [],
@@ -262,27 +387,25 @@ def compute_features_streaming(chunk_iter) -> Dict:
     if n_total == 0:
         return feats
 
-    tex_all: list = []
-    ham_all: list = []
-    fmean_all: list = []
-    fvar_all: list = []
+    sinks = ([], [], [], [])
+    start = 0
     for outs, valid, is_first in pend:
-        tex, ham, fmean, fvar = (np.asarray(x) for x in outs)
-        tex_all.extend(tex[1:1 + valid].tolist())
-        lo = 1 if is_first else 0
-        ham_all.extend(ham[lo:valid].tolist())
-        fmean_all.extend(fmean[lo:valid].tolist())
-        fvar_all.extend(fvar[lo:valid].tolist())
+        if host_mode:
+            ham, fmean, fvar = outs
+            tex = None
+        else:
+            tex, ham, fmean, fvar = outs
+        _window_slices(0 if is_first else 1, valid, tex, ham, fmean, fvar,
+                       sinks)
+        start += valid
+    if host_mode:
+        sinks = (np.concatenate(tex_parts).tolist(),) + tuple(sinks[1:])
+    return _assemble(feats, *sinks)
 
-    feats["textures"] = [float(t) for t in tex_all]
-    feats["flow_means"] = [float(x) for x in fmean_all]
-    feats["flow_vars"] = [float(x) for x in fvar_all]
-    feats["dup"] = int(sum(1 for hm in ham_all if hm == 0))
-    timeline = []
-    for i in range(n_total):
-        tex = feats["textures"][i]
-        mot = feats["flow_means"][i - 1] if i > 0 else 0.0
-        timeline.append(float(np.clip(
-            1.0 - (tex / (tex + 1000.0)) * (1.0 + mot), 0.0, 1.0)))
-    feats["timeline_ai"] = timeline
-    return feats
+
+def analyze_frames(frames: np.ndarray, w: int, h: int, fps: float,
+                   duration: float) -> Dict:
+    """Full TPU video analysis over a decoded batch (mirrors
+    oracle.video_ref.analyze_frames)."""
+    feats = compute_features(frames)
+    return video_ref.summarize(feats, w, h, fps, duration)

@@ -192,4 +192,49 @@ void avd_resample(const float* in, int64_t n_in, int32_t up, int32_t down,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Laplacian texture variance per frame: cv2.Laplacian(gray, CV_64F).var()
+// semantics — ksize=1 stencil [[0,1,0],[1,-4,1],[0,1,0]], REFLECT_101
+// borders, population variance in float64.  Threaded across frames.
+// ---------------------------------------------------------------------------
+static double lap_var_one(const uint8_t* g, int64_t h, int64_t w) {
+  double sum = 0.0, sumsq = 0.0;
+  const int64_t n = h * w;
+  for (int64_t y = 0; y < h; ++y) {
+    const int64_t yu = (y == 0) ? 1 : y - 1;          // reflect-101
+    const int64_t yd = (y == h - 1) ? h - 2 : y + 1;
+    const uint8_t* rc = g + y * w;
+    const uint8_t* ru = g + yu * w;
+    const uint8_t* rd = g + yd * w;
+    for (int64_t x = 0; x < w; ++x) {
+      const int64_t xl = (x == 0) ? 1 : x - 1;
+      const int64_t xr = (x == w - 1) ? w - 2 : x + 1;
+      const double lap = static_cast<double>(ru[x]) + rd[x] + rc[xl] +
+                         rc[xr] - 4.0 * rc[x];
+      sum += lap;
+      sumsq += lap * lap;
+    }
+  }
+  const double mean = sum / n;
+  return sumsq / n - mean * mean;
+}
+
+void avd_laplacian_var(const uint8_t* gray, int64_t n_frames, int64_t h,
+                       int64_t w, double* out, int n_threads) {
+  const int nt = std::max(1, std::min<int>(n_threads, 64));
+  std::vector<std::thread> workers;
+  std::vector<int64_t> next(1, 0);
+  workers.reserve(nt);
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n_frames; i += nt)
+      out[i] = lap_var_one(gray + i * h * w, h, w);
+  };
+  if (nt == 1 || n_frames == 1) {
+    work(0);
+    return;
+  }
+  for (int t = 0; t < nt; ++t) workers.emplace_back(work, t);
+  for (auto& wkr : workers) wkr.join();
+}
+
 }  // extern "C"
