@@ -129,6 +129,29 @@ def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
     return jax.jit(jax.vmap(functools.partial(_feature_body, h=h, w=w)))
 
 
+@functools.lru_cache(maxsize=4)
+def _compiled_prep_stacked(m: int, n_frames: int):
+    """Stacked host-prep program: [m, N, 320, 320] + [m, N, 32, 32]."""
+    import jax
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    return jax.jit(jax.vmap(_prep_body))
+
+
+def run_prep_window(w320: np.ndarray, w32: np.ndarray):
+    """Execute the host-prep pair program for one window, via the
+    cross-request batcher when enabled."""
+    import jax.numpy as jnp
+
+    from avd_tpu.serve import batching
+    b = batching.active_batcher()
+    if b is not None:
+        return b.submit_prep(w320, w32).result()
+    fn = _compiled_prep_chunk(w320.shape[0])
+    return tuple(np.asarray(x) for x in fn(jnp.asarray(w320),
+                                           jnp.asarray(w32)))
+
+
 def run_window(window_gray_u8: np.ndarray):
     """Execute the device-prep feature program for one window, via the
     cross-request batcher when serving has one enabled."""
@@ -288,10 +311,8 @@ def compute_features(frames: np.ndarray) -> Dict:
 
     sinks = ([], [], [], [])
     if _prep_mode() == "host":
-        import jax.numpy as jnp
         small320, small32, tex = _host_prep(frames)
         chunk = _DEFAULT_CHUNK
-        fn = _compiled_prep_chunk(chunk + 1)
         start = 0
         while start < n:
             valid = min(chunk, n - start)
@@ -302,7 +323,7 @@ def compute_features(frames: np.ndarray) -> Dict:
             w32 = _pad_window(
                 np.concatenate([small32[lo:lo + 1],
                                 small32[start:start + valid]]), chunk + 1)
-            ham, fmean, fvar = fn(jnp.asarray(w320), jnp.asarray(w32))
+            ham, fmean, fvar = run_prep_window(w320, w32)
             _window_slices(start, valid, None, ham, fmean, fvar, sinks)
             start += valid
         sinks = (list(tex),) + tuple(sinks[1:])

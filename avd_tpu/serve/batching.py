@@ -34,8 +34,8 @@ def _bucket(m: int) -> int:
 
 
 class _Job:
-    def __init__(self, window: np.ndarray):
-        self.window = window
+    def __init__(self, windows: tuple):
+        self.windows = windows  # one or more same-length window arrays
         self.future: concurrent.futures.Future = concurrent.futures.Future()
 
 
@@ -54,8 +54,16 @@ class WindowBatcher:
         self._closed = False
 
     def submit(self, window: np.ndarray) -> concurrent.futures.Future:
-        key = tuple(window.shape)
-        job = _Job(window)
+        """Device-prep job: one [N, H, W] gray window."""
+        return self._enqueue(("gray",) + tuple(window.shape), (window,))
+
+    def submit_prep(self, w320: np.ndarray,
+                    w32: np.ndarray) -> concurrent.futures.Future:
+        """Host-prep job: ([N,320,320], [N,32,32]) window pair."""
+        return self._enqueue(("prep", w320.shape[0]), (w320, w32))
+
+    def _enqueue(self, key, windows: tuple) -> concurrent.futures.Future:
+        job = _Job(windows)
         with self._lock:
             self.jobs_in += 1
             self._queues.setdefault(key, []).append(job)
@@ -95,16 +103,24 @@ class WindowBatcher:
 
         from avd_tpu.ops import video_features
 
-        n, h, w = key
         m = len(jobs)
         mb = _bucket(m)
-        stack = np.stack([j.window for j in jobs])
-        if mb != m:
-            stack = np.concatenate(
-                [stack, np.repeat(stack[-1:], mb - m, axis=0)])
+
+        def stack_arg(idx):
+            s = np.stack([j.windows[idx] for j in jobs])
+            if mb != m:
+                s = np.concatenate([s, np.repeat(s[-1:], mb - m, axis=0)])
+            return jnp.asarray(s)
+
         try:
-            fn = video_features._compiled_chunk_stacked(mb, n, h, w)
-            outs = tuple(np.asarray(x) for x in fn(jnp.asarray(stack)))
+            if key[0] == "prep":
+                fn = video_features._compiled_prep_stacked(mb, key[1])
+                outs = fn(stack_arg(0), stack_arg(1))
+            else:
+                _, n, h, w = key
+                fn = video_features._compiled_chunk_stacked(mb, n, h, w)
+                outs = fn(stack_arg(0))
+            outs = tuple(np.asarray(x) for x in outs)
             self.batches_formed += 1
             if m > 1:
                 self.fused_jobs += m

@@ -68,6 +68,32 @@ def test_concurrent_requests_fuse(batch_env):
     assert b.jobs_in == 4
 
 
+def test_prep_jobs_fuse_and_match(batch_env):
+    """Host-prep window pairs batch correctly too (the serving default)."""
+    from avd_tpu.ops import video_features
+    rng = np.random.default_rng(0)
+    pairs = [(rng.integers(0, 256, (5, 320, 320), dtype=np.int64)
+              .astype(np.uint8),
+              rng.integers(0, 256, (5, 32, 32), dtype=np.int64)
+              .astype(np.uint8)) for _ in range(3)]
+
+    batching.reset_active()
+    os.environ["AVD_BATCH_WINDOW_MS"] = "0"
+    config_mod.reset_config()
+    plain = [video_features.run_prep_window(a, b) for a, b in pairs]
+
+    os.environ["AVD_BATCH_WINDOW_MS"] = "150"
+    config_mod.reset_config()
+    batching.reset_active()
+    b = batching.active_batcher()
+    futures = [b.submit_prep(x, y) for x, y in pairs]
+    fused = [f.result(timeout=120) for f in futures]
+    for p, q in zip(plain, fused):
+        for pa, qa in zip(p, q):
+            np.testing.assert_allclose(pa, qa, rtol=2e-5, atol=1e-5)
+    assert b.fused_jobs >= 2
+
+
 def test_disabled_returns_none():
     os.environ["AVD_BATCH_WINDOW_MS"] = "0"
     config_mod.reset_config()
