@@ -29,8 +29,8 @@ def _build() -> bool:
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return True
         proc = subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-pthread", "-shared",
-             "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+             "-std=c++17", "-pthread", "-shared", "-o", _SO, _SRC],
             capture_output=True, text=True, timeout=120)
         if proc.returncode != 0:
             return False
@@ -71,6 +71,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int]
         L.avd_laplacian_var.restype = None
+        L.avd_gray_lap_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        L.avd_gray_lap_batch.restype = None
         _LIB = L
         return _LIB
 
@@ -116,6 +120,23 @@ def wav_decode_mono(data: bytes):
     if rc != 0:
         return None
     return out, int(info.sample_rate)
+
+
+def gray_lap(frames_bgr):
+    """[N, H, W, 3] BGR uint8 → (gray [N,H,W] u8, lap_var [N] f64) in one
+    fused pass per frame; None if no lib."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    frames_bgr = np.ascontiguousarray(frames_bgr, np.uint8)
+    n, h, w, _ = frames_bgr.shape
+    gray = np.empty((n, h, w), np.uint8)
+    lap = np.empty(n, np.float64)
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_gray_lap_batch(frames_bgr.ctypes.data, n, h, w,
+                         gray.ctypes.data, lap.ctypes.data, threads)
+    return gray, lap
 
 
 def laplacian_var(gray) -> Optional["np.ndarray"]:

@@ -193,6 +193,114 @@ void avd_resample(const float* in, int64_t n_in, int32_t up, int32_t down,
 }
 
 // ---------------------------------------------------------------------------
+// Fused BGR→gray + Laplacian variance, single pass over the frame.
+//
+// The serving hosts pair a TPU with very few CPU cores, so every byte pass
+// counts: this reads the 3-channel frame once, writes gray once, and
+// accumulates the Laplacian's sum/sum² in exact integer arithmetic
+// (lap ∈ [-1020, 2040] ⇒ Σlap² ≤ 2M·4.2M < 2^63, so the variance is exact
+// — matching cv2.Laplacian(CV_64F).var() bit-for-bit up to the final f64
+// division).  Inner loops are int32-only and written for gcc -O3 -mavx2
+// autovectorization (stride-3 load groups + widening multiplies).
+// ---------------------------------------------------------------------------
+static inline void gray_row(const uint8_t* __restrict bgr,
+                            uint8_t* __restrict gray, int64_t w) {
+  for (int64_t x = 0; x < w; ++x) {
+    const int32_t acc = 3735 * bgr[3 * x] + 19235 * bgr[3 * x + 1] +
+                        9798 * bgr[3 * x + 2] + 16384;
+    gray[x] = static_cast<uint8_t>(acc >> 15);
+  }
+}
+
+// Laplacian contributions of one row given its neighbor rows; returns the
+// row's Σlap and Σlap² via out-params.  Accumulation is blocked int32 (a
+// 128-px block keeps Σlap² ≤ 128·4.2e6 < 2^31) so the inner loop stays
+// vectorizable; widening to int64 happens once per block — the totals are
+// exact.
+static inline void lap_row(const uint8_t* __restrict up,
+                           const uint8_t* __restrict row,
+                           const uint8_t* __restrict dn, int64_t w,
+                           int64_t* sum, int64_t* sumsq) {
+  int64_t s = 0, s2 = 0;
+  // int16 arithmetic: lap ∈ [-1020, 1020] fits int16, lap² fits int32 —
+  // lets AVX2 process 16 pixels per op (vpmaddwd for the squares).
+  constexpr int64_t kBlock = 128;
+  int16_t lap16[kBlock];
+  int64_t x = 1;
+  const int64_t interior_end = w - 1;
+  while (x < interior_end) {
+    const int64_t end = std::min(x + kBlock, interior_end);
+    const int64_t len = end - x;
+    for (int64_t i = 0; i < len; ++i) {
+      const int64_t p = x + i;
+      lap16[i] = static_cast<int16_t>(
+          static_cast<int16_t>(up[p]) + dn[p] + row[p - 1] + row[p + 1] -
+          4 * static_cast<int16_t>(row[p]));
+    }
+    int32_t bs = 0;
+    int32_t bs2 = 0;  // ≤ 128 · 1020² < 2^31
+    for (int64_t i = 0; i < len; ++i) {
+      bs += lap16[i];
+      bs2 += static_cast<int32_t>(lap16[i]) * lap16[i];
+    }
+    s += bs;
+    s2 += bs2;
+    x = end;
+  }
+  // reflect-101 edges
+  {
+    const int32_t lap = static_cast<int32_t>(up[0]) + dn[0] + row[1] +
+                        row[1] - 4 * row[0];
+    s += lap;
+    s2 += static_cast<int64_t>(lap) * lap;
+  }
+  {
+    const int32_t lap = static_cast<int32_t>(up[w - 1]) + dn[w - 1] +
+                        row[w - 2] + row[w - 2] - 4 * row[w - 1];
+    s += lap;
+    s2 += static_cast<int64_t>(lap) * lap;
+  }
+  *sum += s;
+  *sumsq += s2;
+}
+
+void avd_gray_lap_frame(const uint8_t* bgr, int64_t h, int64_t w,
+                        uint8_t* gray, double* lap_var) {
+  // pass 1: grayscale rows (single sweep over the BGR data)
+  for (int64_t y = 0; y < h; ++y)
+    gray_row(bgr + y * w * 3, gray + y * w, w);
+  // pass 2: Laplacian over the (cache-warm) gray
+  int64_t sum = 0, sumsq = 0;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
+    const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
+    lap_row(up, gray + y * w, dn, w, &sum, &sumsq);
+  }
+  const double n = static_cast<double>(h) * w;
+  const double mean = sum / n;
+  *lap_var = sumsq / n - mean * mean;
+}
+
+void avd_gray_lap_batch(const uint8_t* bgr, int64_t n_frames, int64_t h,
+                        int64_t w, uint8_t* gray, double* lap_var,
+                        int n_threads) {
+  const int nt = std::max(1, std::min<int>(n_threads, 64));
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n_frames; i += nt)
+      avd_gray_lap_frame(bgr + i * h * w * 3, h, w, gray + i * h * w,
+                         lap_var + i);
+  };
+  if (nt == 1 || n_frames == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) workers.emplace_back(work, t);
+  for (auto& wkr : workers) wkr.join();
+}
+
+// ---------------------------------------------------------------------------
 // Laplacian texture variance per frame: cv2.Laplacian(gray, CV_64F).var()
 // semantics — ksize=1 stencil [[0,1,0],[1,-4,1],[0,1,0]], REFLECT_101
 // borders, population variance in float64.  Threaded across frames.
