@@ -11,6 +11,7 @@ preserved byte-for-byte; /readyz additionally reports TPU device health
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import shutil
 from typing import Any, Dict
 
@@ -48,14 +49,15 @@ def _too_large_detail():
 
 
 def _analyze_with_timeout(path: str, source_url=None, resolved_url=None):
+    """Request-level timeout (api.py:241) on a daemon thread — a stuck
+    analysis must not hold the connection (or process exit) hostage."""
     cfg = get_config()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(pipeline.analyze_path, path, source_url,
-                          resolved_url)
-        try:
-            return fut.result(timeout=cfg.request_timeout_s)
-        except concurrent.futures.TimeoutError:
-            raise HTTPError(500, {"error": "Timeout analisi"})
+    task = pipeline._DaemonTask(pipeline.analyze_path, path, source_url,
+                                resolved_url)
+    try:
+        return task.result(timeout=cfg.request_timeout_s)
+    except concurrent.futures.TimeoutError:
+        raise HTTPError(500, {"error": "Timeout analisi"})
 
 
 def build_app(analyze_fn=None) -> App:
@@ -77,6 +79,25 @@ def build_app(analyze_fn=None) -> App:
     @app.route("GET", "/readyz")
     def readyz(req: Request) -> Response:
         return Response({"ok": True, **_ready_probe()})
+
+    if cfg.debug:
+        # DEBUG-gated jax.profiler trace control (SURVEY.md §5 tracing) —
+        # capture a device/host trace of live traffic for xprof.
+        @app.route("POST", "/debug/trace/start")
+        def trace_start(req: Request) -> Response:
+            import jax
+            trace_dir = os.getenv("AVD_TRACE_DIR", "/tmp/avd_trace")
+            jax.profiler.start_trace(trace_dir)
+            return Response({"ok": True, "trace_dir": trace_dir})
+
+        @app.route("POST", "/debug/trace/stop")
+        def trace_stop(req: Request) -> Response:
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except RuntimeError as e:
+                raise HTTPError(409, {"error": str(e)})
+            return Response({"ok": True})
 
     @app.route("GET", "/metrics")
     def metrics(req: Request) -> Response:

@@ -65,7 +65,47 @@ def bench_cpu(frames: np.ndarray) -> float:
     return len(frames) / dt
 
 
+def bench_latency() -> dict:
+    """Secondary config (BASELINE.json metric #2): p50 end-to-end
+    analyze_path latency for a 60 s 1080p clip, decode included.
+    Run via AVD_BENCH_MODE=latency."""
+    import statistics
+    import tempfile
+
+    import cv2
+
+    from avd_tpu import pipeline
+
+    secs = int(os.getenv("AVD_BENCH_CLIP_SECS", "60"))
+    path = os.path.join(tempfile.gettempdir(), f"avd_bench_{secs}s.mp4")
+    if not os.path.exists(path):
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             30.0, (W, H))
+        base = make_frames(64)
+        for i in range(secs * 30):
+            vw.write(base[i % 64])
+        vw.release()
+
+    pipeline.analyze_path(path)  # warm (compiles cached)
+    times = []
+    for _ in range(3):
+        t = time.perf_counter()
+        out = pipeline.analyze_path(path)
+        times.append(time.perf_counter() - t)
+    assert out["result"]["label"] in ("real", "ai", "uncertain")
+    p50 = statistics.median(times)
+    return {
+        "metric": f"analyze_latency_p50_{secs}s_1080p",
+        "value": round(p50, 2),
+        "unit": "seconds",
+        "vs_baseline": 0.0,
+    }
+
+
 def main() -> int:
+    if os.getenv("AVD_BENCH_MODE") == "latency":
+        print(json.dumps(bench_latency()))
+        return 0
     frames = make_frames(N_FRAMES)
     tpu_fps = bench_tpu(frames)
     cpu_fps = bench_cpu(frames[:CPU_FRAMES])

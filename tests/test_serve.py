@@ -202,6 +202,32 @@ def test_unknown_route_404(server):
     assert status == 404
 
 
+def test_request_timeout_returns_500(tmp_path):
+    """A stuck analysis must yield the timeout error without wedging the
+    worker (daemon-thread timeout in serve.app._analyze_with_timeout)."""
+    import time as time_mod
+
+    from avd_tpu.serve.app import _analyze_with_timeout
+    from avd_tpu.serve.http import HTTPError
+    from avd_tpu import pipeline as pl
+
+    os.environ["REQUEST_TIMEOUT_S"] = "1"
+    config_mod.reset_config()
+    orig = pl.analyze_path
+    pl.analyze_path = lambda *a, **k: time_mod.sleep(30)
+    t0 = time_mod.time()
+    try:
+        with pytest.raises(HTTPError) as ei:
+            _analyze_with_timeout("/tmp/x.mp4")
+        assert ei.value.status == 500
+        assert ei.value.detail["error"] == "Timeout analisi"
+        assert time_mod.time() - t0 < 5  # did not wait for the sleeper
+    finally:
+        pl.analyze_path = orig
+        os.environ.pop("REQUEST_TIMEOUT_S")
+        config_mod.reset_config()
+
+
 def test_corrupt_upload_gets_neutral_result(server):
     """A non-video upload must still produce the full schema with neutral
     timelines (api.py:118-140 error isolation)."""
