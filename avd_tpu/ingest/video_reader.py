@@ -95,7 +95,16 @@ def iter_sampled_chunks(path: str, meta: dict,
     Used by the pipelined analyzer for long clips: each yielded batch can be
     uploaded to device while the next chunk decodes.  The final chunk may be
     short; metadata fields repeat on each batch.
+
+    ``AVD_FAST_SEEK=1`` replaces the reference's grab-every-frame walk
+    (video.py:27-33) with CAP_PROP_POS_FRAMES seeking to the sampled
+    indices only.  Frame-exact (tested), but NOT generally faster: on
+    long-GOP encodes the decoder re-decodes from the previous keyframe per
+    seek (measured 40 s vs 23 s walk on a 60 s mp4v clip) — it only wins
+    on all-intra/short-GOP material.  Default remains the walk.
     """
+    import os
+
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -107,14 +116,14 @@ def iter_sampled_chunks(path: str, meta: dict,
         duration = meta.get("duration") or (
             cap.get(cv2.CAP_PROP_FRAME_COUNT) / fps if fps > 0 else 0.0)
         step = sampling_step(fps)
+        fast_seek = os.getenv("AVD_FAST_SEEK", "0") == "1" and step > 1
 
         buf: List[np.ndarray] = []
-        index = 0
-        while True:
-            if not cap.grab():
-                break
-            if index % step == 0:
-                ok, frame = cap.retrieve()
+        if fast_seek:
+            index = 0
+            while True:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+                ok, frame = cap.read()
                 if not ok:
                     break
                 buf.append(frame)
@@ -122,7 +131,22 @@ def iter_sampled_chunks(path: str, meta: dict,
                     yield FrameBatch(np.stack(buf), len(buf), float(fps),
                                      int(w), int(h), float(duration))
                     buf = []
-            index += 1
+                index += step
+        else:
+            index = 0
+            while True:
+                if not cap.grab():
+                    break
+                if index % step == 0:
+                    ok, frame = cap.retrieve()
+                    if not ok:
+                        break
+                    buf.append(frame)
+                    if len(buf) >= chunk:
+                        yield FrameBatch(np.stack(buf), len(buf), float(fps),
+                                         int(w), int(h), float(duration))
+                        buf = []
+                index += 1
         if buf:
             yield FrameBatch(np.stack(buf), len(buf), float(fps),
                              int(w), int(h), float(duration))

@@ -48,6 +48,20 @@ def test_streaming_analyzer_end_to_end(tmp_path, monkeypatch):
                                atol=1e-6)
 
 
+def test_fast_seek_matches_walk(tmp_path, monkeypatch):
+    """AVD_FAST_SEEK must yield the exact frames of the grab-walk on the
+    fixture encodings."""
+    clip = fixtures.gradient_clip(120, 64)
+    path = fixtures.write_video(tmp_path / "f.mp4", clip, fps=30.0)
+    meta = probe.probe_basic_meta(path)
+    walk = np.concatenate([c.frames for c in
+                           video_reader.iter_sampled_chunks(path, meta)])
+    monkeypatch.setenv("AVD_FAST_SEEK", "1")
+    seek = np.concatenate([c.frames for c in
+                           video_reader.iter_sampled_chunks(path, meta)])
+    np.testing.assert_array_equal(walk, seek)
+
+
 def test_streaming_empty_file(tmp_path, monkeypatch):
     monkeypatch.setenv("AVD_STREAM", "1")
     from avd_tpu.analyzers import video as video_an
