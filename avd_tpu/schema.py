@@ -11,7 +11,7 @@ ai_score/confidence, label vocabulary, timeline lengths and ranges.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 ENVELOPE_KEYS = ["ok", "meta", "hints", "video", "audio", "result",
                  "timeline_binned", "peaks"]  # + optional "forensic"

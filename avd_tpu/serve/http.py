@@ -9,7 +9,6 @@ with a hard size cap, mirroring ``_save_upload_to_tmp`` (api.py:91-108).
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import socketserver
