@@ -315,8 +315,14 @@ def compute_features(frames: np.ndarray) -> Dict:
 
     sinks = ([], [], [], [])
     if _prep_mode() == "host":
+        import jax.numpy as jnp
+
+        from avd_tpu.serve import batching
+
         small320, small32, tex = _host_prep(frames)
         chunk = _DEFAULT_CHUNK
+        batcher = batching.active_batcher()
+        pend = []
         start = 0
         while start < n:
             valid = min(chunk, n - start)
@@ -327,9 +333,19 @@ def compute_features(frames: np.ndarray) -> Dict:
             w32 = _pad_window(
                 np.concatenate([small32[lo:lo + 1],
                                 small32[start:start + valid]]), chunk + 1)
-            ham, fmean, fvar = run_prep_window(w320, w32)
-            _window_slices(start, valid, None, ham, fmean, fvar, sinks)
+            if batcher is not None:
+                outs = batcher.submit_prep(w320, w32)  # future
+            else:
+                fn = _compiled_prep_chunk(chunk + 1)
+                outs = fn(jnp.asarray(w320), jnp.asarray(w32))  # async jax
+            pend.append((outs, start, valid))
             start += valid
+        for outs, s, valid in pend:
+            if batcher is not None:
+                ham, fmean, fvar = outs.result()
+            else:
+                ham, fmean, fvar = outs
+            _window_slices(s, valid, None, ham, fmean, fvar, sinks)
         sinks = (list(tex),) + tuple(sinks[1:])
     else:
         gray = _to_gray_host(frames)
