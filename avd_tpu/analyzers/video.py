@@ -98,6 +98,13 @@ def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
         out = video_features.analyze_frames(
             fb.frames, fb.width, fb.height, fb.fps, fb.duration)
 
+    # optional frequency-domain forensics (north-star FFT/DCT kernels;
+    # additive summary key, parity output untouched when disabled)
+    if os.getenv("AVD_FREQ_FORENSICS", "0") == "1" and fb.frames.size:
+        from avd_tpu.ops import forensic_freq, video_features
+        gray = video_features._to_gray_host(fb.frames)
+        out["summary"]["freq"] = forensic_freq.summarize(gray)
+
     # optional neural detector (north-star slot; parity mode bypasses it)
     from avd_tpu.models import scoring
     if scoring.enabled():
