@@ -29,12 +29,41 @@ import time
 from avd_tpu.config import get_config
 
 
+def _warmup() -> None:
+    """Pre-compile the default device programs before accepting traffic.
+
+    A cold XLA/Mosaic compile of the feature program takes minutes on the
+    first-ever run (then lands in the persistent cache); warming at boot
+    keeps the first request inside REQUEST_TIMEOUT_S.  AVD_WARMUP=0 skips.
+    """
+    if os.getenv("AVD_WARMUP", "1") != "1":
+        return
+    if os.getenv("AVD_BACKEND", "jax") == "oracle":
+        return  # CPU-only serving has nothing to precompile
+    try:
+        import numpy as np
+
+        from avd_tpu.ops import video_features as vf
+        if vf._prep_mode() == "host":
+            n = vf._DEFAULT_CHUNK + 1
+            zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
+            zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
+            import jax.numpy as jnp
+            fn = vf._compiled_prep_chunk(n)
+            [np.asarray(x) for x in fn(jnp.asarray(zero320),
+                                       jnp.asarray(zero32))]
+        print(f"[worker {os.getpid()}] warmup complete", flush=True)
+    except Exception as e:  # warmup must never kill a worker
+        print(f"[worker {os.getpid()}] warmup skipped: {e!r}", flush=True)
+
+
 def _worker_main(max_requests: int) -> None:
     """Child process: serve until the request budget is exhausted."""
     from avd_tpu.serve import app as app_mod
     from avd_tpu.serve import http as http_mod
 
     cfg = get_config()
+    _warmup()
     host, _, port = cfg.bind.rpartition(":")
     application = app_mod.build_app()
     server = http_mod.make_server(application, host or "0.0.0.0", int(port),
