@@ -35,8 +35,12 @@ def _backend() -> str:
 
 
 def analyze(path: str, meta: dict) -> Dict[str, Any]:
+    # features needing the full decoded batch (detector, freq forensics)
+    # use the batch path; plain analysis streams with bounded memory
+    whole_batch_features = (_detector_on()
+                            or os.getenv("AVD_FREQ_FORENSICS", "0") == "1")
     if _backend() != "oracle" and os.getenv("AVD_STREAM", "1") == "1" \
-            and not _detector_on():
+            and not whole_batch_features:
         return _analyze_streaming(path, meta)
     fb = video_reader.read_sampled(path, meta)
     if fb is None:
