@@ -1,0 +1,114 @@
+"""Ultimate parity check: run the REFERENCE's own video analyzer (pure
+cv2+numpy, imports cleanly from the read-only mount) against ours on the
+same golden files — decode included, end to end through fusion.
+
+This is use-as-test-oracle of the reference implementation, complementing
+the reimplemented-oracle suite (test_video_parity.py): any systematic
+deviation in sampling, hashing, flow, texture, padding or fusion shows up
+here as a label or score mismatch.
+"""
+
+import copy
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, reference_available
+from tests import fixtures
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+
+def _load_reference_video():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_video", os.path.join(REFERENCE_DIR,
+                                   "app/analyzers/video.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_reference_fusion():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_fusion", os.path.join(REFERENCE_DIR,
+                                    "app/analyzers/fusion.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _clips(tmp_path):
+    out = {}
+    for name, frames in (
+            ("solid", fixtures.solid_clip(45, 96)),
+            ("noise", fixtures.noise_clip(45, 96)),
+            ("spliced", fixtures.spliced_clip(60, 96))):
+        out[name] = fixtures.write_video(tmp_path / f"{name}.mp4", frames,
+                                         fps=30.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    return _clips(tmp_path_factory.mktemp("refdiff"))
+
+
+@pytest.mark.parametrize("name", ["solid", "noise", "spliced"])
+def test_video_analyzer_vs_reference(golden, name):
+    from avd_tpu.analyzers import video as ours_mod
+    from avd_tpu.ingest import probe
+
+    ref_mod = _load_reference_video()
+    path = golden[name]
+    meta = probe.probe_basic_meta(path)
+
+    theirs = ref_mod.analyze(path, dict(meta))
+    ours = ours_mod.analyze(path, dict(meta))
+
+    assert len(ours["timeline"]) == len(theirs["timeline"]), name
+    so, st = ours["summary"], theirs["summary"]
+    assert so["dup_density"] == st["dup_density"], name
+    assert so["w"] == st["w"] and so["h"] == st["h"]
+    assert abs(so["texture_var"] - st["texture_var"]) <= \
+        1e-3 * max(1.0, st["texture_var"]), name
+    assert abs(so["flow_mean"] - st["flow_mean"]) <= \
+        0.10 * max(0.2, st["flow_mean"]), name
+    np.testing.assert_allclose(ours["timeline"], theirs["timeline"],
+                               atol=0.02, err_msg=name)
+
+
+@pytest.mark.parametrize("name", ["solid", "noise", "spliced"])
+def test_end_to_end_verdict_vs_reference(golden, name):
+    """Reference video analyzer + reference fusion vs ours end to end:
+    identical labels, |Δai_score| ≤ 0.01 (the rounding quantum)."""
+    from avd_tpu.analyzers import fusion as our_fusion
+    from avd_tpu.analyzers import heuristics_v2
+    from avd_tpu.analyzers import video as our_video
+    from avd_tpu.ingest import probe
+
+    ref_video = _load_reference_video()
+    ref_fusion = _load_reference_fusion()
+
+    path = golden[name]
+    meta = probe.probe_basic_meta(path)
+    hints = heuristics_v2.compute_hints(meta, path)
+    dur = meta.get("duration") or 0.0
+    neutral_audio = {"scores": {}, "flags_audio": {},
+                     "timeline": [0.5] * int(max(1, round(dur)))}
+
+    theirs_v = ref_video.analyze(path, dict(meta))
+    ours_v = our_video.analyze(path, dict(meta))
+
+    theirs = ref_fusion.fuse(copy.deepcopy(neutral_audio),
+                             copy.deepcopy(theirs_v), copy.deepcopy(hints))
+    ours = our_fusion.fuse(copy.deepcopy(neutral_audio),
+                           copy.deepcopy(ours_v), copy.deepcopy(hints))
+
+    assert ours["result"]["label"] == theirs["result"]["label"], name
+    assert abs(ours["result"]["ai_score"]
+               - theirs["result"]["ai_score"]) <= 0.01, name
+    assert abs(ours["result"]["confidence"]
+               - theirs["result"]["confidence"]) <= 0.01, name
