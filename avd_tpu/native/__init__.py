@@ -75,6 +75,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         L.avd_gray_lap_batch.restype = None
+        L.avd_lap_area32_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        L.avd_lap_area32_batch.restype = None
         _LIB = L
         return _LIB
 
@@ -137,6 +141,25 @@ def gray_lap(frames_bgr):
     L.avd_gray_lap_batch(frames_bgr.ctypes.data, n, h, w,
                          gray.ctypes.data, lap.ctypes.data, threads)
     return gray, lap
+
+
+def lap_area32(gray):
+    """[N, H, W] uint8 → (lap_var [N] f64, area32 [N,32,32] u8) in one
+    fused sweep per frame; None if no lib."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    gray = np.ascontiguousarray(gray, np.uint8)
+    n, h, w = gray.shape
+    if h < 32 or w < 32:
+        return None  # area path assumes downscale (sx, sy >= 1)
+    lap = np.empty(n, np.float64)
+    area = np.empty((n, 32, 32), np.uint8)
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_lap_area32_batch(gray.ctypes.data, n, h, w, lap.ctypes.data,
+                           area.ctypes.data, threads)
+    return lap, area
 
 
 def laplacian_var(gray) -> Optional["np.ndarray"]:

@@ -221,19 +221,28 @@ def _host_prep(frames_bgr: np.ndarray):
     (flow_input [N,320,320] u8, hash_input [N,32,32] u8, tex [N] f64)."""
     import concurrent.futures
 
+    from avd_tpu import native
+
     gray = _to_gray_host(frames_bgr)
     tex = None
     n = gray.shape[0]
     small320 = np.empty((n, _FLOW_SIZE, _FLOW_SIZE), np.uint8)
     small32 = np.empty((n, _HASH_SIZE, _HASH_SIZE), np.uint8)
+
+    # fused C++ pass: Laplacian variance + 32×32 area bins ride one sweep
+    fused = native.lap_area32(gray)
+    if fused is not None:
+        tex, small32 = fused
+
     try:
         import cv2
 
         def work(i):
             small320[i] = cv2.resize(gray[i], (_FLOW_SIZE, _FLOW_SIZE),
                                      interpolation=cv2.INTER_LINEAR)
-            small32[i] = cv2.resize(gray[i], (_HASH_SIZE, _HASH_SIZE),
-                                    interpolation=cv2.INTER_AREA)
+            if fused is None:
+                small32[i] = cv2.resize(gray[i], (_HASH_SIZE, _HASH_SIZE),
+                                        interpolation=cv2.INTER_AREA)
 
         n_threads = min(8, os.cpu_count() or 1)
         if n > 4 and n_threads > 1:

@@ -327,6 +327,101 @@ static double lap_var_one(const uint8_t* g, int64_t h, int64_t w) {
   return sumsq / n - mean * mean;
 }
 
+// ---------------------------------------------------------------------------
+// Fused per-frame prep: Laplacian variance + 32×32 area-average in one
+// sweep over the gray rows (the area bins ride along while the rows are
+// cache-hot).  Area semantics match cv2 INTER_AREA's fractional-overlap
+// weighting; output rounded half-to-even like cv2's saturate_cast.
+// ---------------------------------------------------------------------------
+static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
+                             int64_t w, double* lap_var,
+                             uint8_t* __restrict area32) {
+  constexpr int kOut = 32;
+  // per-axis fractional span weights
+  const double sy = static_cast<double>(h) / kOut;
+  const double sx = static_cast<double>(w) / kOut;
+
+  double col_acc[kOut];            // per output column, current band
+  double band_rows[kOut][kOut];    // [oy][ox] accumulated weighted sums
+  std::memset(band_rows, 0, sizeof(band_rows));
+
+  int64_t sum = 0, sumsq = 0;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = gray + y * w;
+    // --- laplacian part ---
+    const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
+    const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
+    lap_row(up, row, dn, w, &sum, &sumsq);
+
+    // --- area part: bin this row's pixels into 32 columns ---
+    std::memset(col_acc, 0, sizeof(col_acc));
+    for (int64_t x = 0; x < w; ++x) {
+      int ox = static_cast<int>(x / sx);
+      if (ox >= kOut) ox = kOut - 1;
+      const double split = static_cast<double>(ox + 1) * sx;
+      if (static_cast<double>(x + 1) <= split || ox == kOut - 1) {
+        col_acc[ox] += row[x];
+      } else {
+        // pixel straddles an output-column boundary (sx >= 1 for
+        // downscale, so at most two columns)
+        const double left = split - x;
+        col_acc[ox] += row[x] * left;
+        if (ox + 1 < kOut) col_acc[ox + 1] += row[x] * (1.0 - left);
+      }
+    }
+    // distribute the row into the (possibly two) output rows it overlaps
+    int oy = static_cast<int>(y / sy);
+    if (oy >= kOut) oy = kOut - 1;
+    const double rsplit = static_cast<double>(oy + 1) * sy;
+    if (static_cast<double>(y + 1) <= rsplit || oy == kOut - 1) {
+      for (int c = 0; c < kOut; ++c) band_rows[oy][c] += col_acc[c];
+    } else {
+      const double top = rsplit - y;
+      for (int c = 0; c < kOut; ++c) {
+        band_rows[oy][c] += col_acc[c] * top;
+        if (oy + 1 < kOut) band_rows[oy + 1][c] += col_acc[c] * (1.0 - top);
+      }
+    }
+  }
+
+  const double inv_area = 1.0 / (sy * sx);
+  // cv2 INTER_AREA rounding: integer ratios go through the fixed-point
+  // path ((sum + area/2) >> shift → round half away from zero); the
+  // fractional path uses float accumulation + cvRound (half to even).
+  const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
+  for (int oy = 0; oy < kOut; ++oy)
+    for (int ox = 0; ox < kOut; ++ox) {
+      const double v = band_rows[oy][ox] * inv_area;
+      double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
+      if (r < 0) r = 0;
+      if (r > 255) r = 255;
+      area32[oy * kOut + ox] = static_cast<uint8_t>(r);
+    }
+
+  const double n = static_cast<double>(h) * w;
+  const double mean = sum / n;
+  *lap_var = sumsq / n - mean * mean;
+}
+
+void avd_lap_area32_batch(const uint8_t* gray, int64_t n_frames, int64_t h,
+                          int64_t w, double* lap_var, uint8_t* area32,
+                          int n_threads) {
+  const int nt = std::max(1, std::min<int>(n_threads, 64));
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n_frames; i += nt)
+      lap_area32_frame(gray + i * h * w, h, w, lap_var + i,
+                       area32 + i * 32 * 32);
+  };
+  if (nt == 1 || n_frames == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) workers.emplace_back(work, t);
+  for (auto& wkr : workers) wkr.join();
+}
+
 void avd_laplacian_var(const uint8_t* gray, int64_t n_frames, int64_t h,
                        int64_t w, double* out, int n_threads) {
   const int nt = std::max(1, std::min<int>(n_threads, 64));
