@@ -224,7 +224,8 @@ static inline void lap_row(const uint8_t* __restrict up,
   int64_t s = 0, s2 = 0;
   // int16 arithmetic: lap ∈ [-1020, 1020] fits int16, lap² fits int32 —
   // lets AVX2 process 16 pixels per op (vpmaddwd for the squares).
-  constexpr int64_t kBlock = 128;
+  // Block bound: 1024 · 1020² < 2^31 keeps the int32 accumulators exact.
+  constexpr int64_t kBlock = 1024;
   int16_t lap16[kBlock];
   int64_t x = 1;
   const int64_t interior_end = w - 1;
@@ -341,6 +342,26 @@ static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
   const double sy = static_cast<double>(h) / kOut;
   const double sx = static_cast<double>(w) / kOut;
 
+  // Precompute per-output-column spans: [px0]·w0 + full[px0+1, px1) + [px1]·w1
+  // so the inner row loop is 32 vectorizable integer run-sums, not a
+  // per-pixel double-precision scatter.
+  int64_t px0[kOut], px1[kOut];
+  double w0[kOut], w1[kOut];
+  for (int ox = 0; ox < kOut; ++ox) {
+    const double lo = ox * sx;
+    const double hi = (ox + 1) * sx;
+    int64_t p0 = static_cast<int64_t>(std::floor(lo));
+    int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
+    if (p1 >= w) p1 = w - 1;
+    if (p1 == p0) {
+      px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
+    } else {
+      px0[ox] = p0; px1[ox] = p1;
+      w0[ox] = (p0 + 1) - lo;
+      w1[ox] = hi - p1;
+    }
+  }
+
   double col_acc[kOut];            // per output column, current band
   double band_rows[kOut][kOut];    // [oy][ox] accumulated weighted sums
   std::memset(band_rows, 0, sizeof(band_rows));
@@ -353,21 +374,16 @@ static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
     const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
     lap_row(up, row, dn, w, &sum, &sumsq);
 
-    // --- area part: bin this row's pixels into 32 columns ---
-    std::memset(col_acc, 0, sizeof(col_acc));
-    for (int64_t x = 0; x < w; ++x) {
-      int ox = static_cast<int>(x / sx);
-      if (ox >= kOut) ox = kOut - 1;
-      const double split = static_cast<double>(ox + 1) * sx;
-      if (static_cast<double>(x + 1) <= split || ox == kOut - 1) {
-        col_acc[ox] += row[x];
-      } else {
-        // pixel straddles an output-column boundary (sx >= 1 for
-        // downscale, so at most two columns)
-        const double left = split - x;
-        col_acc[ox] += row[x] * left;
-        if (ox + 1 < kOut) col_acc[ox + 1] += row[x] * (1.0 - left);
+    // --- area part: 32 run-sums over this row ---
+    for (int ox = 0; ox < kOut; ++ox) {
+      const int64_t p0 = px0[ox], p1 = px1[ox];
+      if (p1 == p0) {
+        col_acc[ox] = row[p0] * w0[ox];
+        continue;
       }
+      int32_t run = 0;
+      for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
+      col_acc[ox] = run + row[p0] * w0[ox] + row[p1] * w1[ox];
     }
     // distribute the row into the (possibly two) output rows it overlaps
     int oy = static_cast<int>(y / sy);
