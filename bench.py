@@ -23,10 +23,11 @@ import time
 
 import numpy as np
 
-N_FRAMES = int(os.getenv("AVD_BENCH_FRAMES", "49"))
+N_FRAMES = int(os.getenv("AVD_BENCH_FRAMES", "145"))
 H, W = 1080, 1920
 CPU_FRAMES = int(os.getenv("AVD_BENCH_CPU_FRAMES", "13"))
 REPS = int(os.getenv("AVD_BENCH_REPS", "3"))
+DECODE_CHUNK = 29  # frames per simulated decode chunk (streaming mode)
 
 
 def make_frames(n: int) -> np.ndarray:
@@ -47,22 +48,31 @@ def make_frames(n: int) -> np.ndarray:
 
 
 def bench_tpu(frames: np.ndarray) -> float:
+    """Steady-state streaming throughput: decode-sized chunks flow through
+    host prep + async device dispatch (the serving configuration)."""
     from avd_tpu.ops import video_features
-    video_features.compute_features(frames)  # compile + warm
+
+    def chunks():
+        for i in range(0, len(frames), DECODE_CHUNK):
+            yield frames[i:i + DECODE_CHUNK]
+
+    video_features.compute_features_streaming(chunks())  # compile + warm
     best = float("inf")
     for _ in range(REPS):
         t = time.perf_counter()
-        video_features.compute_features(frames)
+        video_features.compute_features_streaming(chunks())
         best = min(best, time.perf_counter() - t)
     return len(frames) / best
 
 
 def bench_cpu(frames: np.ndarray) -> float:
     from avd_tpu.oracle import video_ref
-    t = time.perf_counter()
-    video_ref.compute_features(frames)
-    dt = time.perf_counter() - t
-    return len(frames) / dt
+    best = float("inf")
+    for _ in range(2):  # the shared host core is noisy; take the best
+        t = time.perf_counter()
+        video_ref.compute_features(frames)
+        best = min(best, time.perf_counter() - t)
+    return len(frames) / best
 
 
 def bench_latency() -> dict:

@@ -20,19 +20,122 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSSE3__)
+#include <immintrin.h>
+#define AVD_HAVE_SSSE3 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // BGR -> gray, cv2 fixed-point semantics: (R*9798 + G*19235 + B*3735 +
 // 16384) >> 15  (verified bit-exact against cv2 5.0).
 // ---------------------------------------------------------------------------
-static void gray_span(const uint8_t* bgr, uint8_t* gray, int64_t begin,
-                      int64_t end) {
+static void gray_span_scalar(const uint8_t* bgr, uint8_t* gray,
+                             int64_t begin, int64_t end) {
   for (int64_t i = begin; i < end; ++i) {
     const uint8_t* p = bgr + i * 3;
     const uint32_t acc = 3735u * p[0] + 19235u * p[1] + 9798u * p[2] + 16384u;
     gray[i] = static_cast<uint8_t>(acc >> 15);
   }
+}
+
+#ifdef AVD_HAVE_SSSE3
+// 16 pixels per iteration: deinterleave 48 BGR bytes with pshufb, then
+// fixed-point weighted sum via pmaddwd pairs:
+//   (B,G) · (3735, 19235)  +  (R,1) · (9798, 16384)   >> 15
+// Exactly matches the scalar/cv2 arithmetic.
+static void gray_span_simd(const uint8_t* bgr, uint8_t* gray, int64_t begin,
+                           int64_t end) {
+  int64_t i = begin;
+  const __m128i mB0 = _mm_setr_epi8(0, 3, 6, 9, 12, 15, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mB1 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, 2, 5, 8, 11, 14,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mB2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    -1, 1, 4, 7, 10, 13);
+  const __m128i mG0 = _mm_setr_epi8(1, 4, 7, 10, 13, -1, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mG1 = _mm_setr_epi8(-1, -1, -1, -1, -1, 0, 3, 6, 9, 12, 15,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mG2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    -1, 2, 5, 8, 11, 14);
+  const __m128i mR0 = _mm_setr_epi8(2, 5, 8, 11, 14, -1, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mR1 = _mm_setr_epi8(-1, -1, -1, -1, -1, 1, 4, 7, 10, 13, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mR2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    0, 3, 6, 9, 12, 15);
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i coefBG = _mm_set1_epi32((19235 << 16) | 3735);
+  const __m128i coefR1 = _mm_set1_epi32((16384 << 16) | 9798);
+  const __m128i one16 = _mm_set1_epi16(1);
+
+  for (; i + 16 <= end; i += 16) {
+    const uint8_t* p = bgr + i * 3;
+    const __m128i s0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p));
+    const __m128i s1 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(p + 16));
+    const __m128i s2 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(p + 32));
+
+    const __m128i B = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(s0, mB0), _mm_shuffle_epi8(s1, mB1)),
+        _mm_shuffle_epi8(s2, mB2));
+    const __m128i G = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(s0, mG0), _mm_shuffle_epi8(s1, mG1)),
+        _mm_shuffle_epi8(s2, mG2));
+    const __m128i R = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(s0, mR0), _mm_shuffle_epi8(s1, mR1)),
+        _mm_shuffle_epi8(s2, mR2));
+
+    // widen to 16-bit
+    const __m128i Blo = _mm_unpacklo_epi8(B, zero);
+    const __m128i Bhi = _mm_unpackhi_epi8(B, zero);
+    const __m128i Glo = _mm_unpacklo_epi8(G, zero);
+    const __m128i Ghi = _mm_unpackhi_epi8(G, zero);
+    const __m128i Rlo = _mm_unpacklo_epi8(R, zero);
+    const __m128i Rhi = _mm_unpackhi_epi8(R, zero);
+
+    // interleave (B,G) and (R,1) into 16-bit pairs, madd with coeff pairs
+    const __m128i bg0 = _mm_unpacklo_epi16(Blo, Glo);
+    const __m128i bg1 = _mm_unpackhi_epi16(Blo, Glo);
+    const __m128i bg2 = _mm_unpacklo_epi16(Bhi, Ghi);
+    const __m128i bg3 = _mm_unpackhi_epi16(Bhi, Ghi);
+    const __m128i r0 = _mm_unpacklo_epi16(Rlo, one16);
+    const __m128i r1 = _mm_unpackhi_epi16(Rlo, one16);
+    const __m128i r2 = _mm_unpacklo_epi16(Rhi, one16);
+    const __m128i r3 = _mm_unpackhi_epi16(Rhi, one16);
+
+    __m128i a0 = _mm_add_epi32(_mm_madd_epi16(bg0, coefBG),
+                               _mm_madd_epi16(r0, coefR1));
+    __m128i a1 = _mm_add_epi32(_mm_madd_epi16(bg1, coefBG),
+                               _mm_madd_epi16(r1, coefR1));
+    __m128i a2 = _mm_add_epi32(_mm_madd_epi16(bg2, coefBG),
+                               _mm_madd_epi16(r2, coefR1));
+    __m128i a3 = _mm_add_epi32(_mm_madd_epi16(bg3, coefBG),
+                               _mm_madd_epi16(r3, coefR1));
+    a0 = _mm_srli_epi32(a0, 15);
+    a1 = _mm_srli_epi32(a1, 15);
+    a2 = _mm_srli_epi32(a2, 15);
+    a3 = _mm_srli_epi32(a3, 15);
+
+    const __m128i p16lo = _mm_packs_epi32(a0, a1);
+    const __m128i p16hi = _mm_packs_epi32(a2, a3);
+    const __m128i out = _mm_packus_epi16(p16lo, p16hi);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(gray + i), out);
+  }
+  gray_span_scalar(bgr, gray, i, end);
+}
+#endif
+
+static void gray_span(const uint8_t* bgr, uint8_t* gray, int64_t begin,
+                      int64_t end) {
+#ifdef AVD_HAVE_SSSE3
+  gray_span_simd(bgr, gray, begin, end);
+#else
+  gray_span_scalar(bgr, gray, begin, end);
+#endif
 }
 
 void avd_bgr_to_gray_u8(const uint8_t* bgr, uint8_t* gray, int64_t n_pixels,
