@@ -387,9 +387,12 @@ def compute_features_streaming(chunk_iter) -> Dict:
     """
     import jax.numpy as jnp
 
+    from avd_tpu.serve import batching
+
     host_mode = _prep_mode() == "host"
     chunk = _DEFAULT_CHUNK if host_mode else None
     fn = _compiled_prep_chunk(chunk + 1) if host_mode else None
+    batcher = batching.active_batcher() if host_mode else None
 
     pend: list = []      # (device_outs, valid, is_first)
     tex_parts: list = []
@@ -404,7 +407,10 @@ def compute_features_streaming(chunk_iter) -> Dict:
             tuple(p[0] for p in parts)
         windows = [_pad_window(np.concatenate([ld[None], p]), chunk + 1)
                    for ld, p in zip(leads, parts)]
-        outs = fn(*(jnp.asarray(w) for w in windows))  # async
+        if batcher is not None:
+            outs = batcher.submit_prep(*windows)  # future (cross-request)
+        else:
+            outs = fn(*(jnp.asarray(w) for w in windows))  # async jax
         pend.append((outs, valid, prev_last is None))
         prev_last = tuple(p[-1] for p in parts)
 
@@ -443,6 +449,8 @@ def compute_features_streaming(chunk_iter) -> Dict:
     sinks = ([], [], [], [])
     start = 0
     for outs, valid, is_first in pend:
+        if batcher is not None:
+            outs = outs.result()
         if host_mode:
             ham, fmean, fvar = outs
             tex = None

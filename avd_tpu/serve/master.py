@@ -52,6 +52,14 @@ def _warmup() -> None:
             fn = vf._compiled_prep_chunk(n)
             [np.asarray(x) for x in fn(jnp.asarray(zero320),
                                        jnp.asarray(zero32))]
+            if get_config().batch_window_ms > 0:
+                # also warm the cross-request stacked buckets
+                for m in (2, 4):
+                    fm = vf._compiled_prep_stacked(m, n)
+                    s320 = np.broadcast_to(zero320, (m,) + zero320.shape)
+                    s32 = np.broadcast_to(zero32, (m,) + zero32.shape)
+                    [np.asarray(x) for x in fm(jnp.asarray(s320),
+                                               jnp.asarray(s32))]
         print(f"[worker {os.getpid()}] warmup complete", flush=True)
     except Exception as e:  # warmup must never kill a worker
         print(f"[worker {os.getpid()}] warmup skipped: {e!r}", flush=True)
