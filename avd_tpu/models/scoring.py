@@ -33,6 +33,13 @@ def blend_factor() -> float:
         return 0.0
 
 
+_PRESETS = {
+    # matches models/train.py defaults — train small, serve small
+    "small": dict(image_size=64, patch=16, width=256, depth=4, heads=4),
+    "full": dict(),  # ViTConfig defaults (224px, width 384, depth 6)
+}
+
+
 @functools.lru_cache(maxsize=1)
 def _bundle():
     import jax
@@ -42,7 +49,8 @@ def _bundle():
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
-    cfg = detector.ViTConfig()
+    preset = os.getenv("AVD_DETECTOR_PRESET", "full")
+    cfg = detector.ViTConfig(**_PRESETS.get(preset, {}))
     params = detector.init_params(jax.random.PRNGKey(0), cfg)
     ckpt = os.getenv("AVD_DETECTOR_CKPT")
     source = "random_init"
