@@ -25,6 +25,14 @@
 #define AVD_HAVE_SSSE3 1
 #endif
 
+// AVX-512VBMI gray path: compiled via target attribute (works without
+// -march flags on gcc ≥ 6), dispatched at runtime with
+// __builtin_cpu_supports. x86-64 gcc/clang only.
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#define AVD_HAVE_AVX512_TARGET 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -129,8 +137,107 @@ static void gray_span_simd(const uint8_t* bgr, uint8_t* gray, int64_t begin,
 }
 #endif
 
+#ifdef AVD_HAVE_AVX512_TARGET
+// 64 pixels per iteration. The three 64-byte loads cover 64 BGR triplets;
+// vpermi2b picks channel bytes out of s0‖s1 (indices 0..127) and a masked
+// vpermb overwrites the lanes whose source byte lives in s2 (global index
+// ≥ 128 → s2 index = idx & 63). Arithmetic is the same fixed-point
+// (B,G)·(3735,19235) + (R,1)·(9798,16384) >> 15 pipeline as the SSSE3
+// path — bit-exact vs cv2/scalar. unpack/madd/pack all act per 128-bit
+// lane, and each lane holds 16 consecutive pixels, so byte order is
+// preserved end to end.
+__attribute__((target("avx512f,avx512bw,avx512vbmi")))
+static void gray_span_avx512(const uint8_t* bgr, uint8_t* gray,
+                             int64_t begin, int64_t end) {
+  int64_t i = begin;
+  alignas(64) uint8_t idxB[64], idxG[64], idxR[64];
+  for (int j = 0; j < 64; ++j) {
+    idxB[j] = static_cast<uint8_t>(3 * j + 0);
+    idxG[j] = static_cast<uint8_t>(3 * j + 1);
+    idxR[j] = static_cast<uint8_t>(3 * j + 2);
+  }
+  const __m512i iB = _mm512_load_si512(idxB);
+  const __m512i iG = _mm512_load_si512(idxG);
+  const __m512i iR = _mm512_load_si512(idxR);
+  // lanes whose global byte index lands in s2 (3j+c >= 128)
+  const __mmask64 mB = ~((__mmask64(1) << 43) - 1);  // j >= 43
+  const __mmask64 mG = ~((__mmask64(1) << 43) - 1);  // j >= 43
+  const __mmask64 mR = ~((__mmask64(1) << 42) - 1);  // j >= 42
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i coefBG = _mm512_set1_epi32((19235 << 16) | 3735);
+  const __m512i coefR1 = _mm512_set1_epi32((16384 << 16) | 9798);
+  const __m512i one16 = _mm512_set1_epi16(1);
+
+  for (; i + 64 <= end; i += 64) {
+    const uint8_t* p = bgr + i * 3;
+    const __m512i s0 = _mm512_loadu_si512(p);
+    const __m512i s1 = _mm512_loadu_si512(p + 64);
+    const __m512i s2 = _mm512_loadu_si512(p + 128);
+
+    __m512i B = _mm512_permutex2var_epi8(s0, iB, s1);
+    B = _mm512_mask_permutexvar_epi8(B, mB, iB, s2);
+    __m512i G = _mm512_permutex2var_epi8(s0, iG, s1);
+    G = _mm512_mask_permutexvar_epi8(G, mG, iG, s2);
+    __m512i R = _mm512_permutex2var_epi8(s0, iR, s1);
+    R = _mm512_mask_permutexvar_epi8(R, mR, iR, s2);
+
+    const __m512i Blo = _mm512_unpacklo_epi8(B, zero);
+    const __m512i Bhi = _mm512_unpackhi_epi8(B, zero);
+    const __m512i Glo = _mm512_unpacklo_epi8(G, zero);
+    const __m512i Ghi = _mm512_unpackhi_epi8(G, zero);
+    const __m512i Rlo = _mm512_unpacklo_epi8(R, zero);
+    const __m512i Rhi = _mm512_unpackhi_epi8(R, zero);
+
+    const __m512i bg0 = _mm512_unpacklo_epi16(Blo, Glo);
+    const __m512i bg1 = _mm512_unpackhi_epi16(Blo, Glo);
+    const __m512i bg2 = _mm512_unpacklo_epi16(Bhi, Ghi);
+    const __m512i bg3 = _mm512_unpackhi_epi16(Bhi, Ghi);
+    const __m512i r0 = _mm512_unpacklo_epi16(Rlo, one16);
+    const __m512i r1 = _mm512_unpackhi_epi16(Rlo, one16);
+    const __m512i r2 = _mm512_unpacklo_epi16(Rhi, one16);
+    const __m512i r3 = _mm512_unpackhi_epi16(Rhi, one16);
+
+    __m512i a0 = _mm512_add_epi32(_mm512_madd_epi16(bg0, coefBG),
+                                  _mm512_madd_epi16(r0, coefR1));
+    __m512i a1 = _mm512_add_epi32(_mm512_madd_epi16(bg1, coefBG),
+                                  _mm512_madd_epi16(r1, coefR1));
+    __m512i a2 = _mm512_add_epi32(_mm512_madd_epi16(bg2, coefBG),
+                                  _mm512_madd_epi16(r2, coefR1));
+    __m512i a3 = _mm512_add_epi32(_mm512_madd_epi16(bg3, coefBG),
+                                  _mm512_madd_epi16(r3, coefR1));
+    a0 = _mm512_srli_epi32(a0, 15);
+    a1 = _mm512_srli_epi32(a1, 15);
+    a2 = _mm512_srli_epi32(a2, 15);
+    a3 = _mm512_srli_epi32(a3, 15);
+
+    const __m512i p16lo = _mm512_packs_epi32(a0, a1);
+    const __m512i p16hi = _mm512_packs_epi32(a2, a3);
+    const __m512i out = _mm512_packus_epi16(p16lo, p16hi);
+    _mm512_storeu_si512(gray + i, out);
+  }
+#ifdef AVD_HAVE_SSSE3
+  gray_span_simd(bgr, gray, i, end);
+#else
+  gray_span_scalar(bgr, gray, i, end);
+#endif
+}
+
+static bool cpu_has_avx512vbmi() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("avx512vbmi");
+  return ok;
+}
+#endif  // AVD_HAVE_AVX512_TARGET
+
 static void gray_span(const uint8_t* bgr, uint8_t* gray, int64_t begin,
                       int64_t end) {
+#ifdef AVD_HAVE_AVX512_TARGET
+  if (cpu_has_avx512vbmi()) {
+    gray_span_avx512(bgr, gray, begin, end);
+    return;
+  }
+#endif
 #ifdef AVD_HAVE_SSSE3
   gray_span_simd(bgr, gray, begin, end);
 #else
@@ -368,6 +475,122 @@ static inline void lap_row(const uint8_t* __restrict up,
   *sumsq += s2;
 }
 
+#ifdef AVD_HAVE_AVX512_TARGET
+// AVX-512 lap_row: 64 interior pixels per chunk.  Σlap rides
+// madd(lap, 1) and Σlap² rides madd(lap, lap); both accumulate in i32
+// lanes (per-row bounds: |Σ madd-lane| ≤ (w/32)·2040 and ≤ (w/32)·2·1020²
+// — exact for w ≤ 32k) and widen to i64 once per row.  Identical totals
+// to the scalar/blocked path — integer arithmetic throughout.
+__attribute__((target("avx512f,avx512bw")))
+static void lap_row_avx512(const uint8_t* __restrict up,
+                           const uint8_t* __restrict row,
+                           const uint8_t* __restrict dn, int64_t w,
+                           int64_t* sum, int64_t* sumsq) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i four = _mm512_set1_epi16(4);
+  const __m512i one16 = _mm512_set1_epi16(1);
+  __m512i acc_s = zero, acc_s2 = zero;
+  const int64_t interior_end = w - 1;
+  int64_t x = 1;
+  while (x < interior_end) {
+    const int64_t len = std::min<int64_t>(64, interior_end - x);
+    const __mmask64 m =
+        (len == 64) ? ~__mmask64(0) : ((__mmask64(1) << len) - 1);
+    const __m512i u = _mm512_maskz_loadu_epi8(m, up + x);
+    const __m512i d = _mm512_maskz_loadu_epi8(m, dn + x);
+    const __m512i c = _mm512_maskz_loadu_epi8(m, row + x);
+    const __m512i l = _mm512_maskz_loadu_epi8(m, row + x - 1);
+    const __m512i r = _mm512_maskz_loadu_epi8(m, row + x + 1);
+    // masked-off lanes are zero in every operand → lap contribution 0
+    const __m512i ulo = _mm512_unpacklo_epi8(u, zero);
+    const __m512i uhi = _mm512_unpackhi_epi8(u, zero);
+    const __m512i dlo = _mm512_unpacklo_epi8(d, zero);
+    const __m512i dhi = _mm512_unpackhi_epi8(d, zero);
+    const __m512i clo = _mm512_unpacklo_epi8(c, zero);
+    const __m512i chi = _mm512_unpackhi_epi8(c, zero);
+    const __m512i llo = _mm512_unpacklo_epi8(l, zero);
+    const __m512i lhi = _mm512_unpackhi_epi8(l, zero);
+    const __m512i rlo = _mm512_unpacklo_epi8(r, zero);
+    const __m512i rhi = _mm512_unpackhi_epi8(r, zero);
+    const __m512i lap_lo = _mm512_sub_epi16(
+        _mm512_add_epi16(_mm512_add_epi16(ulo, dlo),
+                         _mm512_add_epi16(llo, rlo)),
+        _mm512_mullo_epi16(four, clo));
+    const __m512i lap_hi = _mm512_sub_epi16(
+        _mm512_add_epi16(_mm512_add_epi16(uhi, dhi),
+                         _mm512_add_epi16(lhi, rhi)),
+        _mm512_mullo_epi16(four, chi));
+    acc_s = _mm512_add_epi32(acc_s, _mm512_madd_epi16(lap_lo, one16));
+    acc_s = _mm512_add_epi32(acc_s, _mm512_madd_epi16(lap_hi, one16));
+    acc_s2 = _mm512_add_epi32(acc_s2, _mm512_madd_epi16(lap_lo, lap_lo));
+    acc_s2 = _mm512_add_epi32(acc_s2, _mm512_madd_epi16(lap_hi, lap_hi));
+    x += len;
+  }
+  // widen i32 lanes to i64 before reducing (Σlap² can exceed i32 summed)
+  const __m512i s2a =
+      _mm512_cvtepi32_epi64(_mm512_castsi512_si256(acc_s2));
+  const __m512i s2b =
+      _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(acc_s2, 1));
+  const __m512i sa = _mm512_cvtepi32_epi64(_mm512_castsi512_si256(acc_s));
+  const __m512i sb =
+      _mm512_cvtepi32_epi64(_mm512_extracti64x4_epi64(acc_s, 1));
+  int64_t s = _mm512_reduce_add_epi64(sa) + _mm512_reduce_add_epi64(sb);
+  int64_t s2 = _mm512_reduce_add_epi64(s2a) + _mm512_reduce_add_epi64(s2b);
+  // reflect-101 edges (same as scalar path)
+  {
+    const int32_t lap = static_cast<int32_t>(up[0]) + dn[0] + row[1] +
+                        row[1] - 4 * row[0];
+    s += lap;
+    s2 += static_cast<int64_t>(lap) * lap;
+  }
+  {
+    const int32_t lap = static_cast<int32_t>(up[w - 1]) + dn[w - 1] +
+                        row[w - 2] + row[w - 2] - 4 * row[w - 1];
+    s += lap;
+    s2 += static_cast<int64_t>(lap) * lap;
+  }
+  *sum += s;
+  *sumsq += s2;
+}
+
+// Contiguous byte run-sum via SAD against zero (8-byte group sums in the
+// epi64 lanes); exact integer result, any length.
+__attribute__((target("avx512f,avx512bw")))
+static inline int32_t byte_run_sum_avx512(const uint8_t* p, int64_t len) {
+  const __m512i zero = _mm512_setzero_si512();
+  __m512i acc = zero;
+  int64_t i = 0;
+  for (; i + 64 <= len; i += 64) {
+    const __m512i v = _mm512_loadu_si512(p + i);
+    acc = _mm512_add_epi64(acc, _mm512_sad_epu8(v, zero));
+  }
+  if (i < len) {
+    const __mmask64 m = (__mmask64(1) << (len - i)) - 1;
+    const __m512i v = _mm512_maskz_loadu_epi8(m, p + i);
+    acc = _mm512_add_epi64(acc, _mm512_sad_epu8(v, zero));
+  }
+  return static_cast<int32_t>(_mm512_reduce_add_epi64(acc));
+}
+
+static bool cpu_has_avx512bw() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512bw");
+  return ok;
+}
+#endif  // AVD_HAVE_AVX512_TARGET
+
+static inline void lap_row_dispatch(const uint8_t* up, const uint8_t* row,
+                                    const uint8_t* dn, int64_t w,
+                                    int64_t* sum, int64_t* sumsq) {
+#ifdef AVD_HAVE_AVX512_TARGET
+  if (w >= 66 && w <= 32000 && cpu_has_avx512bw()) {
+    lap_row_avx512(up, row, dn, w, sum, sumsq);
+    return;
+  }
+#endif
+  lap_row(up, row, dn, w, sum, sumsq);
+}
+
 void avd_gray_lap_frame(const uint8_t* bgr, int64_t h, int64_t w,
                         uint8_t* gray, double* lap_var) {
   // pass 1: grayscale rows (single sweep over the BGR data)
@@ -378,7 +601,7 @@ void avd_gray_lap_frame(const uint8_t* bgr, int64_t h, int64_t w,
   for (int64_t y = 0; y < h; ++y) {
     const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
     const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
-    lap_row(up, gray + y * w, dn, w, &sum, &sumsq);
+    lap_row_dispatch(up, gray + y * w, dn, w, &sum, &sumsq);
   }
   const double n = static_cast<double>(h) * w;
   const double mean = sum / n;
@@ -475,9 +698,14 @@ static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
     // --- laplacian part ---
     const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
     const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
-    lap_row(up, row, dn, w, &sum, &sumsq);
+    lap_row_dispatch(up, row, dn, w, &sum, &sumsq);
 
     // --- area part: 32 run-sums over this row ---
+#ifdef AVD_HAVE_AVX512_TARGET
+    const bool use_sad = cpu_has_avx512bw();
+#else
+    const bool use_sad = false;
+#endif
     for (int ox = 0; ox < kOut; ++ox) {
       const int64_t p0 = px0[ox], p1 = px1[ox];
       if (p1 == p0) {
@@ -485,7 +713,13 @@ static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
         continue;
       }
       int32_t run = 0;
-      for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
+      if (use_sad) {
+#ifdef AVD_HAVE_AVX512_TARGET
+        if (p1 > p0 + 1) run = byte_run_sum_avx512(row + p0 + 1, p1 - p0 - 1);
+#endif
+      } else {
+        for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
+      }
       col_acc[ox] = run + row[p0] * w0[ox] + row[p1] * w1[ox];
     }
     // distribute the row into the (possibly two) output rows it overlaps
