@@ -118,6 +118,56 @@ def _compiled_prep_chunk(n_frames: int):
     return jax.jit(_prep_body)
 
 
+@functools.lru_cache(maxsize=4)
+def _compiled_prep_packed(n_frames: int):
+    """Tunnel-friendly host-prep program: ONE uint8 input vector (the
+    320×320 flow window and 32×32 hash window concatenated flat) and ONE
+    float32 output vector (ham ‖ fmean ‖ fvar).  Each host↔device round
+    trip costs ~24 ms RTT on the axon tunnel regardless of size, so
+    collapsing 2 puts + 3 fetches per window into 1 + 1 is worth ~3 ms
+    per frame of streaming throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    n_flow = n_frames * _FLOW_SIZE * _FLOW_SIZE
+
+    def body(packed_u8):
+        f = packed_u8[:n_flow].reshape(n_frames, _FLOW_SIZE, _FLOW_SIZE)
+        h8 = packed_u8[n_flow:].reshape(n_frames, _HASH_SIZE, _HASH_SIZE)
+        ham, fmean, fvar = _prep_body(f, h8)
+        return jnp.concatenate([ham.astype(jnp.float32),
+                                fmean.astype(jnp.float32),
+                                fvar.astype(jnp.float32)])
+
+    return jax.jit(body)
+
+
+_FETCH_GROUP = 4  # packed windows fetched per D2H round trip
+
+
+@functools.lru_cache(maxsize=4)
+def _compiled_stack_fetch(m: int):
+    """Stack m same-shape packed outputs into one array — one D2H round
+    trip fetches m windows' results."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    return jax.jit(lambda *xs: jnp.stack(xs))
+
+
+def _pack_prep_window(w320: np.ndarray, w32: np.ndarray) -> np.ndarray:
+    return np.concatenate([w320.reshape(-1), w32.reshape(-1)])
+
+
+def _unpack_prep_out(vec: np.ndarray, n_frames: int):
+    k = n_frames - 1
+    return vec[:k], vec[k:2 * k], vec[2 * k:3 * k]
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
     """jit program over [m, n_frames, H, W] — m windows from different
@@ -391,8 +441,14 @@ def compute_features_streaming(chunk_iter) -> Dict:
 
     host_mode = _prep_mode() == "host"
     chunk = _DEFAULT_CHUNK if host_mode else None
-    fn = _compiled_prep_chunk(chunk + 1) if host_mode else None
     batcher = batching.active_batcher() if host_mode else None
+    packed_mode = host_mode and batcher is None
+    if packed_mode:
+        fn = _compiled_prep_packed(chunk + 1)
+    elif host_mode:
+        fn = _compiled_prep_chunk(chunk + 1)
+    else:
+        fn = None
 
     pend: list = []      # (device_outs, valid, is_first)
     tex_parts: list = []
@@ -409,6 +465,8 @@ def compute_features_streaming(chunk_iter) -> Dict:
                    for ld, p in zip(leads, parts)]
         if batcher is not None:
             outs = batcher.submit_prep(*windows)  # future (cross-request)
+        elif packed_mode:
+            outs = fn(jnp.asarray(_pack_prep_window(*windows)))  # 1 put
         else:
             outs = fn(*(jnp.asarray(w) for w in windows))  # async jax
         pend.append((outs, valid, prev_last is None))
@@ -445,6 +503,22 @@ def compute_features_streaming(chunk_iter) -> Dict:
              "textures": [], "timeline_ai": []}
     if n_total == 0:
         return feats
+
+    if packed_mode and pend:
+        # fetch packed windows in groups: one D2H round trip per group
+        fetched = []
+        i = 0
+        while i < len(pend):
+            group = pend[i:i + _FETCH_GROUP]
+            if len(group) == 1:
+                fetched.append(np.asarray(group[0][0]))
+            else:
+                stk = _compiled_stack_fetch(len(group))
+                arr = np.asarray(stk(*(g[0] for g in group)))
+                fetched.extend(arr[j] for j in range(len(group)))
+            i += len(group)
+        pend = [(_unpack_prep_out(vec, chunk + 1), valid, is_first)
+                for vec, (_, valid, is_first) in zip(fetched, pend)]
 
     sinks = ([], [], [], [])
     start = 0
