@@ -79,6 +79,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         L.avd_lap_area32_batch.restype = None
+        L.avd_prep320_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        L.avd_prep320_batch.restype = None
         _LIB = L
         return _LIB
 
@@ -160,6 +164,28 @@ def lap_area32(gray):
     L.avd_lap_area32_batch(gray.ctypes.data, n, h, w, lap.ctypes.data,
                            area.ctypes.data, threads)
     return lap, area
+
+
+def prep320(gray):
+    """[N, H, W] uint8 → (lap_var [N] f64, area32 [N,32,32] u8,
+    lin320 [N,320,320] u8) in one fused sweep per frame — the complete
+    host-prep feature set.  Downscale only (H, W > 320); None otherwise
+    or when no lib (callers fall back to the cv2 path)."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    gray = np.ascontiguousarray(gray, np.uint8)
+    n, h, w = gray.shape
+    if h <= 320 or w <= 320:
+        return None
+    lap = np.empty(n, np.float64)
+    area = np.empty((n, 32, 32), np.uint8)
+    lin = np.empty((n, 320, 320), np.uint8)
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_prep320_batch(gray.ctypes.data, n, h, w, lap.ctypes.data,
+                        area.ctypes.data, lin.ctypes.data, threads)
+    return lap, area, lin
 
 
 def laplacian_var(gray) -> Optional["np.ndarray"]:

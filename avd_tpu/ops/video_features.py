@@ -279,6 +279,14 @@ def _host_prep(frames_bgr: np.ndarray):
     gray = _to_gray_host(frames_bgr)
     tex = None
     n = gray.shape[0]
+
+    # fully fused C++ pass: Laplacian variance + 32×32 area bins + 320×320
+    # bilinear in ONE sweep (bit-exact vs cv2; downscale inputs only)
+    fused3 = native.prep320(gray)
+    if fused3 is not None:
+        tex, small32, small320 = fused3
+        return small320, small32, tex
+
     small320 = np.empty((n, _FLOW_SIZE, _FLOW_SIZE), np.uint8)
     small32 = np.empty((n, _HASH_SIZE, _HASH_SIZE), np.uint8)
 

@@ -79,3 +79,35 @@ def test_resample_tone_preserved():
 
 def test_garbage_wav_rejected():
     assert native.wav_decode_mono(b"not a wav file at all") is None
+
+
+def test_prep320_fused_bit_exact_vs_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1080, 1920), (333, 517), (321, 321), (480, 640)]:
+        gray = rng.integers(0, 256, (2, h, w), np.uint8)
+        out = native.prep320(gray)
+        if out is None:
+            pytest.skip("native lib unavailable")
+        lap, area, lin = out
+        for i in range(2):
+            np.testing.assert_array_equal(
+                lin[i], cv2.resize(gray[i], (320, 320),
+                                   interpolation=cv2.INTER_LINEAR))
+            ref_area = cv2.resize(gray[i], (32, 32),
+                                  interpolation=cv2.INTER_AREA)
+            tol = 1 if (h % 32 == 0 and w % 32 == 0) else 0
+            assert np.abs(area[i].astype(int)
+                          - ref_area.astype(int)).max() <= tol
+            ref_lap = cv2.Laplacian(gray[i], cv2.CV_64F).var()
+            assert abs(lap[i] - ref_lap) <= 1e-9 * max(1.0, abs(ref_lap))
+
+
+def test_prep320_declines_non_downscale():
+    if native.lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(12)
+    assert native.prep320(rng.integers(0, 256, (1, 320, 640), np.uint8)) \
+        is None
+    assert native.prep320(rng.integers(0, 256, (1, 640, 100), np.uint8)) \
+        is None
