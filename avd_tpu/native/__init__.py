@@ -83,6 +83,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         L.avd_prep320_batch.restype = None
+        L.avd_prep320_bgr_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        L.avd_prep320_bgr_batch.restype = None
         _LIB = L
         return _LIB
 
@@ -185,6 +189,29 @@ def prep320(gray):
     threads = min(os.cpu_count() or 1, 16)
     L.avd_prep320_batch(gray.ctypes.data, n, h, w, lap.ctypes.data,
                         area.ctypes.data, lin.ctypes.data, threads)
+    return lap, area, lin
+
+
+def prep320_bgr(frames_bgr):
+    """[N, H, W, 3] BGR uint8 → (lap_var [N] f64, area32 [N,32,32] u8,
+    lin320 [N,320,320] u8) in one fused sweep — grayscale rows live in a
+    3-row ring, the full gray plane is never materialized.  Downscale
+    only (H, W > 320); None otherwise or when no lib."""
+    import numpy as np
+    L = lib()
+    if L is None:
+        return None
+    frames_bgr = np.ascontiguousarray(frames_bgr, np.uint8)
+    n, h, w, _ = frames_bgr.shape
+    if h <= 320 or w <= 320:
+        return None
+    lap = np.empty(n, np.float64)
+    area = np.empty((n, 32, 32), np.uint8)
+    lin = np.empty((n, 320, 320), np.uint8)
+    threads = min(os.cpu_count() or 1, 16)
+    L.avd_prep320_bgr_batch(frames_bgr.ctypes.data, n, h, w,
+                            lap.ctypes.data, area.ctypes.data,
+                            lin.ctypes.data, threads)
     return lap, area, lin
 
 

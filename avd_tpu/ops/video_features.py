@@ -276,12 +276,19 @@ def _host_prep(frames_bgr: np.ndarray):
 
     from avd_tpu import native
 
+    # fully fused C++ pass straight from BGR: gray ring + Laplacian
+    # variance + 32×32 area bins + 320×320 bilinear in ONE sweep
+    # (bit-exact vs cv2; downscale inputs only)
+    fused_bgr = native.prep320_bgr(frames_bgr)
+    if fused_bgr is not None:
+        tex, small32, small320 = fused_bgr
+        return small320, small32, tex
+
     gray = _to_gray_host(frames_bgr)
     tex = None
     n = gray.shape[0]
 
-    # fully fused C++ pass: Laplacian variance + 32×32 area bins + 320×320
-    # bilinear in ONE sweep (bit-exact vs cv2; downscale inputs only)
+    # fused C++ pass over pre-materialized gray (same outputs)
     fused3 = native.prep320(gray)
     if fused3 is not None:
         tex, small32, small320 = fused3

@@ -904,6 +904,174 @@ static void prep320_frame(const uint8_t* __restrict gray, int64_t h,
   *lap_var = sumsq / n - mean * mean;
 }
 
+// Same fused prep, but straight from BGR: grayscale rows are produced
+// into a 3-row ring (the Laplacian lags one row behind), so the full-res
+// gray plane is never materialized — per 1080p frame that skips ~4 MB of
+// write+read traffic vs gray-then-prep.
+static void prep320_bgr_frame(const uint8_t* __restrict bgr, int64_t h,
+                              int64_t w, double* lap_var,
+                              uint8_t* __restrict area32,
+                              uint8_t* __restrict lin320,
+                              const int32_t* cx, const int32_t* ax0,
+                              const int32_t* ax1, const int32_t* cy,
+                              const int32_t* by0, const int32_t* by1,
+                              const uint8_t* row_needed,
+                              uint8_t* ring /* [3*w] */) {
+  constexpr int kOut = 32;
+  constexpr int kLin = 320;
+  const double sy = static_cast<double>(h) / kOut;
+  const double sx = static_cast<double>(w) / kOut;
+
+  int64_t px0[kOut], px1[kOut];
+  double w0[kOut], w1[kOut];
+  for (int ox = 0; ox < kOut; ++ox) {
+    const double lo = ox * sx;
+    const double hi = (ox + 1) * sx;
+    int64_t p0 = static_cast<int64_t>(std::floor(lo));
+    int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
+    if (p1 >= w) p1 = w - 1;
+    if (p1 == p0) {
+      px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
+    } else {
+      px0[ox] = p0; px1[ox] = p1;
+      w0[ox] = (p0 + 1) - lo;
+      w1[ox] = hi - p1;
+    }
+  }
+
+  double col_acc[kOut];
+  double band_rows[kOut][kOut];
+  std::memset(band_rows, 0, sizeof(band_rows));
+
+  int32_t hring[2][kLin];
+  int oy_lin = 0;
+  int64_t sum = 0, sumsq = 0;
+
+#ifdef AVD_HAVE_AVX512_TARGET
+  const bool use_sad = cpu_has_avx512bw();
+#else
+  const bool use_sad = false;
+#endif
+
+  for (int64_t y = 0; y < h; ++y) {
+    uint8_t* row = ring + (y % 3) * w;
+    gray_span(bgr + y * w * 3, row, 0, w);
+
+    // --- area part on the fresh gray row ---
+    for (int ox = 0; ox < kOut; ++ox) {
+      const int64_t p0 = px0[ox], p1 = px1[ox];
+      if (p1 == p0) {
+        col_acc[ox] = row[p0] * w0[ox];
+        continue;
+      }
+      int32_t run = 0;
+      if (use_sad) {
+#ifdef AVD_HAVE_AVX512_TARGET
+        if (p1 > p0 + 1) run = byte_run_sum_avx512(row + p0 + 1, p1 - p0 - 1);
+#endif
+      } else {
+        for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
+      }
+      col_acc[ox] = run + row[p0] * w0[ox] + row[p1] * w1[ox];
+    }
+    int oy = static_cast<int>(y / sy);
+    if (oy >= kOut) oy = kOut - 1;
+    const double rsplit = static_cast<double>(oy + 1) * sy;
+    if (static_cast<double>(y + 1) <= rsplit || oy == kOut - 1) {
+      for (int c = 0; c < kOut; ++c) band_rows[oy][c] += col_acc[c];
+    } else {
+      const double top = rsplit - y;
+      for (int c = 0; c < kOut; ++c) {
+        band_rows[oy][c] += col_acc[c] * top;
+        if (oy + 1 < kOut) band_rows[oy + 1][c] += col_acc[c] * (1.0 - top);
+      }
+    }
+
+    // --- bilinear 320 on the fresh gray row ---
+    if (row_needed[y]) {
+      const int slot = static_cast<int>(y & 1);
+      int32_t* hr = hring[slot];
+      for (int ox = 0; ox < kLin; ++ox)
+        hr[ox] = ax0[ox] * row[cx[ox]] + ax1[ox] * row[cx[ox] + 1];
+      while (oy_lin < kLin && cy[oy_lin] + 1 == y) {
+        const int32_t* s0 = hring[(y - 1) & 1];
+        const int32_t* s1 = hr;
+        uint8_t* out = lin320 + oy_lin * kLin;
+        const int32_t b0 = by0[oy_lin], b1 = by1[oy_lin];
+        for (int ox = 0; ox < kLin; ++ox) {
+          int32_t v = ((b0 * (s0[ox] >> 4)) >> 16) +
+                      ((b1 * (s1[ox] >> 4)) >> 16);
+          v = (v + 2) >> 2;
+          out[ox] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+        ++oy_lin;
+      }
+    }
+
+    // --- laplacian lags one row (needs the y+1 gray row as `dn`) ---
+    if (y == 1) {
+      const uint8_t* r0 = ring + 0 * w;  // row 0
+      const uint8_t* r1 = ring + 1 * w;  // row 1 (reflect-101 up + dn)
+      lap_row_dispatch(r1, r0, r1, w, &sum, &sumsq);
+    }
+    if (y >= 2)
+      lap_row_dispatch(ring + ((y - 2) % 3) * w, ring + ((y - 1) % 3) * w,
+                       ring + (y % 3) * w, w, &sum, &sumsq);
+    if (y == h - 1) {
+      const uint8_t* prev = ring + ((h - 2) % 3) * w;
+      lap_row_dispatch(prev, ring + ((h - 1) % 3) * w, prev, w, &sum,
+                       &sumsq);
+    }
+  }
+
+  const double inv_area = 1.0 / (sy * sx);
+  const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
+  for (int oy = 0; oy < kOut; ++oy)
+    for (int ox = 0; ox < kOut; ++ox) {
+      const double v = band_rows[oy][ox] * inv_area;
+      double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
+      if (r < 0) r = 0;
+      if (r > 255) r = 255;
+      area32[oy * kOut + ox] = static_cast<uint8_t>(r);
+    }
+
+  const double n = static_cast<double>(h) * w;
+  const double mean = sum / n;
+  *lap_var = sumsq / n - mean * mean;
+}
+
+void avd_prep320_bgr_batch(const uint8_t* bgr, int64_t n_frames, int64_t h,
+                           int64_t w, double* lap_var, uint8_t* area32,
+                           uint8_t* lin320, int n_threads) {
+  constexpr int kLin = 320;
+  int32_t cx[kLin], ax0[kLin], ax1[kLin];
+  int32_t cy[kLin], by0[kLin], by1[kLin];
+  lin320_coeffs(w, cx, ax0, ax1);
+  lin320_coeffs(h, cy, by0, by1);
+  std::vector<uint8_t> row_needed(h, 0);
+  for (int i = 0; i < kLin; ++i) {
+    row_needed[cy[i]] = 1;
+    row_needed[cy[i] + 1] = 1;
+  }
+  const int nt = std::max(1, std::min<int>(n_threads, 64));
+  auto work = [&](int t) {
+    std::vector<uint8_t> ring(3 * w);
+    for (int64_t i = t; i < n_frames; i += nt)
+      prep320_bgr_frame(bgr + i * h * w * 3, h, w, lap_var + i,
+                        area32 + i * 32 * 32, lin320 + i * kLin * kLin,
+                        cx, ax0, ax1, cy, by0, by1, row_needed.data(),
+                        ring.data());
+  };
+  if (nt == 1 || n_frames == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) workers.emplace_back(work, t);
+  for (auto& wkr : workers) wkr.join();
+}
+
 // Downscale-only (h > 320 && w > 320); callers fall back to the cv2 path
 // otherwise.
 void avd_prep320_batch(const uint8_t* gray, int64_t n_frames, int64_t h,
