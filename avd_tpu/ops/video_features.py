@@ -188,6 +188,30 @@ def _compiled_prep_stacked(m: int, n_frames: int):
     return jax.jit(jax.vmap(_prep_body))
 
 
+@functools.lru_cache(maxsize=4)
+def _compiled_prep_stacked_packed(m: int, n_frames: int):
+    """Stacked + packed host-prep program: [m, N·(320²+32²)] uint8 in,
+    [m, 3·(N−1)] float32 out — one put and one fetch per cross-request
+    batch regardless of batch size (the tunnel charges ~24 ms per round
+    trip; see _compiled_prep_packed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    n_flow = n_frames * _FLOW_SIZE * _FLOW_SIZE
+
+    def one(packed_u8):
+        f = packed_u8[:n_flow].reshape(n_frames, _FLOW_SIZE, _FLOW_SIZE)
+        h8 = packed_u8[n_flow:].reshape(n_frames, _HASH_SIZE, _HASH_SIZE)
+        ham, fmean, fvar = _prep_body(f, h8)
+        return jnp.concatenate([ham.astype(jnp.float32),
+                                fmean.astype(jnp.float32),
+                                fvar.astype(jnp.float32)])
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_prep_window(w320: np.ndarray, w32: np.ndarray):
     """Execute the host-prep pair program for one window, via the
     cross-request batcher when enabled."""
@@ -197,9 +221,10 @@ def run_prep_window(w320: np.ndarray, w32: np.ndarray):
     b = batching.active_batcher()
     if b is not None:
         return b.submit_prep(w320, w32).result()
-    fn = _compiled_prep_chunk(w320.shape[0])
-    return tuple(np.asarray(x) for x in fn(jnp.asarray(w320),
-                                           jnp.asarray(w32)))
+    n = w320.shape[0]
+    fn = _compiled_prep_packed(n)
+    vec = np.asarray(fn(jnp.asarray(_pack_prep_window(w320, w32))))
+    return _unpack_prep_out(vec, n)
 
 
 def run_window(window_gray_u8: np.ndarray):
@@ -413,15 +438,16 @@ def compute_features(frames: np.ndarray) -> Dict:
             if batcher is not None:
                 outs = batcher.submit_prep(w320, w32)  # future
             else:
-                fn = _compiled_prep_chunk(chunk + 1)
-                outs = fn(jnp.asarray(w320), jnp.asarray(w32))  # async jax
+                fn = _compiled_prep_packed(chunk + 1)
+                outs = fn(jnp.asarray(_pack_prep_window(w320, w32)))
             pend.append((outs, start, valid))
             start += valid
         for outs, s, valid in pend:
             if batcher is not None:
                 ham, fmean, fvar = outs.result()
             else:
-                ham, fmean, fvar = outs
+                ham, fmean, fvar = _unpack_prep_out(
+                    np.asarray(outs), chunk + 1)
             _window_slices(s, valid, None, ham, fmean, fvar, sinks)
         sinks = (list(tex),) + tuple(sinks[1:])
     else:

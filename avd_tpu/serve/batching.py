@@ -114,12 +114,26 @@ class WindowBatcher:
 
         try:
             if key[0] == "prep":
-                fn = video_features._compiled_prep_stacked(mb, key[1])
-                outs = fn(stack_arg(0), stack_arg(1))
-            else:
-                _, n, h, w = key
-                fn = video_features._compiled_chunk_stacked(mb, n, h, w)
-                outs = fn(stack_arg(0))
+                # packed: ONE put + ONE fetch per batch (~24 ms per
+                # tunnel round trip otherwise)
+                n = key[1]
+                fn = video_features._compiled_prep_stacked_packed(mb, n)
+                packed = np.stack([video_features._pack_prep_window(
+                    *j.windows) for j in jobs])
+                if mb != m:
+                    packed = np.concatenate(
+                        [packed, np.repeat(packed[-1:], mb - m, axis=0)])
+                res = np.asarray(fn(jnp.asarray(packed)))  # [mb, 3(n-1)]
+                self.batches_formed += 1
+                if m > 1:
+                    self.fused_jobs += m
+                for i, job in enumerate(jobs):
+                    job.future.set_result(
+                        video_features._unpack_prep_out(res[i], n))
+                return
+            _, n, h, w = key
+            fn = video_features._compiled_chunk_stacked(mb, n, h, w)
+            outs = fn(stack_arg(0))
             outs = tuple(np.asarray(x) for x in outs)
             self.batches_formed += 1
             if m > 1:

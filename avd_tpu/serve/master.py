@@ -49,17 +49,14 @@ def _warmup() -> None:
             zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
             zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
             import jax.numpy as jnp
-            fn = vf._compiled_prep_chunk(n)
-            [np.asarray(x) for x in fn(jnp.asarray(zero320),
-                                       jnp.asarray(zero32))]
+            packed = vf._pack_prep_window(zero320, zero32)
+            np.asarray(vf._compiled_prep_packed(n)(jnp.asarray(packed)))
             if get_config().batch_window_ms > 0:
-                # also warm the cross-request stacked buckets
-                for m in (2, 4):
-                    fm = vf._compiled_prep_stacked(m, n)
-                    s320 = np.broadcast_to(zero320, (m,) + zero320.shape)
-                    s32 = np.broadcast_to(zero32, (m,) + zero32.shape)
-                    [np.asarray(x) for x in fm(jnp.asarray(s320),
-                                               jnp.asarray(s32))]
+                # also warm the cross-request stacked buckets (packed)
+                for m in (1, 2, 4):
+                    fm = vf._compiled_prep_stacked_packed(m, n)
+                    sp = np.broadcast_to(packed, (m,) + packed.shape)
+                    np.asarray(fm(jnp.asarray(sp)))
         print(f"[worker {os.getpid()}] warmup complete", flush=True)
     except Exception as e:  # warmup must never kill a worker
         print(f"[worker {os.getpid()}] warmup skipped: {e!r}", flush=True)
