@@ -25,8 +25,9 @@ import numpy as np
 
 N_FRAMES = int(os.getenv("AVD_BENCH_FRAMES", "145"))
 H, W = 1080, 1920
-CPU_FRAMES = int(os.getenv("AVD_BENCH_CPU_FRAMES", "13"))
-REPS = int(os.getenv("AVD_BENCH_REPS", "3"))
+CPU_FRAMES = int(os.getenv("AVD_BENCH_CPU_FRAMES", "31"))
+REPS = int(os.getenv("AVD_BENCH_REPS", "5"))
+CPU_REPS = int(os.getenv("AVD_BENCH_CPU_REPS", "3"))
 DECODE_CHUNK = 29  # frames per simulated decode chunk (streaming mode)
 
 
@@ -66,13 +67,21 @@ def bench_tpu(frames: np.ndarray) -> float:
 
 
 def bench_cpu(frames: np.ndarray) -> float:
+    """Median of CPU_REPS timed oracle runs over CPU_FRAMES frames.
+
+    The shared host core carries 2-5x timing noise from neighbor tenants;
+    a 13-frame best-of-2 (round 1) swung the recorded ratio +-15%.  31
+    frames x median-of-3 keeps the recorded speedup reproducible within
+    ~5% run to run (VERDICT round 1, item 9)."""
+    import statistics
+
     from avd_tpu.oracle import video_ref
-    best = float("inf")
-    for _ in range(2):  # the shared host core is noisy; take the best
+    times = []
+    for _ in range(CPU_REPS):
         t = time.perf_counter()
         video_ref.compute_features(frames)
-        best = min(best, time.perf_counter() - t)
-    return len(frames) / best
+        times.append(time.perf_counter() - t)
+    return len(frames) / statistics.median(times)
 
 
 def bench_latency() -> dict:
@@ -124,6 +133,7 @@ def main() -> int:
         "value": round(tpu_fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "cpu_fps": round(cpu_fps, 2),
     }
     print(json.dumps(out))
     return 0
