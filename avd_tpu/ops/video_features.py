@@ -52,6 +52,25 @@ def _prep_mode() -> str:
     return os.getenv("AVD_PREP", "host")
 
 
+def _window_buckets(chunk: int):
+    """Window lengths (incl. the 1-frame lead-in) the tail may round up to.
+
+    A clip tail of a few frames used to pay a full (chunk+1)-frame device
+    window — 145 frames = 3×48 + 1 ran 4 full windows (33% padding waste).
+    Quarter-chunk buckets cap the waste at chunk/4−1 frames per clip at the
+    cost of three extra compiled shapes (one-time, persistently cached)."""
+    q = max(1, chunk // 4)
+    return tuple(sorted({q + 1, 2 * q + 1, 3 * q + 1, chunk + 1}))
+
+
+def _bucket_len(n_window: int, chunk: int) -> int:
+    """Smallest bucketed window length >= n_window."""
+    for b in _window_buckets(chunk):
+        if n_window <= b:
+            return b
+    return chunk + 1
+
+
 # ---------------------------------------------------------------------------
 # device programs
 # ---------------------------------------------------------------------------
@@ -429,25 +448,26 @@ def compute_features(frames: np.ndarray) -> Dict:
         while start < n:
             valid = min(chunk, n - start)
             lo = start - 1 if start > 0 else 0
+            target = _bucket_len(valid + 1, chunk)
             w320 = _pad_window(
                 np.concatenate([small320[lo:lo + 1],
-                                small320[start:start + valid]]), chunk + 1)
+                                small320[start:start + valid]]), target)
             w32 = _pad_window(
                 np.concatenate([small32[lo:lo + 1],
-                                small32[start:start + valid]]), chunk + 1)
+                                small32[start:start + valid]]), target)
             if batcher is not None:
                 outs = batcher.submit_prep(w320, w32)  # future
             else:
-                fn = _compiled_prep_packed(chunk + 1)
+                fn = _compiled_prep_packed(target)
                 outs = fn(jnp.asarray(_pack_prep_window(w320, w32)))
-            pend.append((outs, start, valid))
+            pend.append((outs, start, valid, target))
             start += valid
-        for outs, s, valid in pend:
+        for outs, s, valid, target in pend:
             if batcher is not None:
                 ham, fmean, fvar = outs.result()
             else:
                 ham, fmean, fvar = _unpack_prep_out(
-                    np.asarray(outs), chunk + 1)
+                    np.asarray(outs), target)
             _window_slices(s, valid, None, ham, fmean, fvar, sinks)
         sinks = (list(tex),) + tuple(sinks[1:])
     else:
@@ -484,14 +504,8 @@ def compute_features_streaming(chunk_iter) -> Dict:
     chunk = _DEFAULT_CHUNK if host_mode else None
     batcher = batching.active_batcher() if host_mode else None
     packed_mode = host_mode and batcher is None
-    if packed_mode:
-        fn = _compiled_prep_packed(chunk + 1)
-    elif host_mode:
-        fn = _compiled_prep_chunk(chunk + 1)
-    else:
-        fn = None
 
-    pend: list = []      # (device_outs, valid, is_first)
+    pend: list = []      # (device_outs, valid, is_first, window_len)
     tex_parts: list = []
     held = None          # tuple of np arrays not yet dispatched
     prev_last = None     # tuple of lead-in frames
@@ -500,17 +514,20 @@ def compute_features_streaming(chunk_iter) -> Dict:
     def dispatch(parts):
         nonlocal prev_last
         valid = parts[0].shape[0]
+        target = _bucket_len(valid + 1, chunk)
         leads = prev_last if prev_last is not None else \
             tuple(p[0] for p in parts)
-        windows = [_pad_window(np.concatenate([ld[None], p]), chunk + 1)
+        windows = [_pad_window(np.concatenate([ld[None], p]), target)
                    for ld, p in zip(leads, parts)]
         if batcher is not None:
             outs = batcher.submit_prep(*windows)  # future (cross-request)
         elif packed_mode:
+            fn = _compiled_prep_packed(target)
             outs = fn(jnp.asarray(_pack_prep_window(*windows)))  # 1 put
-        else:
+        else:  # device-prep mode: full-res gray windows
+            fn = _compiled_chunk(target, *parts[0].shape[1:3])
             outs = fn(*(jnp.asarray(w) for w in windows))  # async jax
-        pend.append((outs, valid, prev_last is None))
+        pend.append((outs, valid, prev_last is None, target))
         prev_last = tuple(p[-1] for p in parts)
 
     for frames in chunk_iter:
@@ -523,9 +540,7 @@ def compute_features_streaming(chunk_iter) -> Dict:
         else:
             gray = _to_gray_host(frames)
             if chunk is None:
-                h, w = gray.shape[1:3]
-                chunk = _chunk_size(h, w)
-                fn = _compiled_chunk(chunk + 1, h, w)
+                chunk = _chunk_size(*gray.shape[1:3])
             parts = (gray,)
         if held is not None:
             parts = tuple(np.concatenate([h_, p])
@@ -546,11 +561,15 @@ def compute_features_streaming(chunk_iter) -> Dict:
         return feats
 
     if packed_mode and pend:
-        # fetch packed windows in groups: one D2H round trip per group
+        # fetch packed windows in groups of equal shape: one D2H round trip
+        # per group (tail windows use a smaller bucket and fetch alone)
         fetched = []
         i = 0
         while i < len(pend):
-            group = pend[i:i + _FETCH_GROUP]
+            group = [pend[i]]
+            while (len(group) < _FETCH_GROUP and i + len(group) < len(pend)
+                   and pend[i + len(group)][3] == group[0][3]):
+                group.append(pend[i + len(group)])
             if len(group) == 1:
                 fetched.append(np.asarray(group[0][0]))
             else:
@@ -558,12 +577,12 @@ def compute_features_streaming(chunk_iter) -> Dict:
                 arr = np.asarray(stk(*(g[0] for g in group)))
                 fetched.extend(arr[j] for j in range(len(group)))
             i += len(group)
-        pend = [(_unpack_prep_out(vec, chunk + 1), valid, is_first)
-                for vec, (_, valid, is_first) in zip(fetched, pend)]
+        pend = [(_unpack_prep_out(vec, target), valid, is_first, target)
+                for vec, (_, valid, is_first, target) in zip(fetched, pend)]
 
     sinks = ([], [], [], [])
     start = 0
-    for outs, valid, is_first in pend:
+    for outs, valid, is_first, target in pend:
         if batcher is not None:
             outs = outs.result()
         if host_mode:
