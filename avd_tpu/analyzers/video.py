@@ -67,11 +67,20 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     holder: Dict[str, Any] = {}
 
     def chunks():
-        for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32):
+        for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32,
+                                                   copy=False):
             holder.setdefault("fb", fb)
             yield fb.frames
 
-    feats = video_features.compute_features_streaming(chunks())
+    try:
+        feats = video_features.compute_features_streaming(chunks())
+    except Exception:
+        # a mid-stream native-decode failure restarts on the cv2 batch
+        # path from scratch (rare; bit-exact either way)
+        fb = video_reader.read_sampled(path, meta)
+        if fb is None:
+            return _empty_result()
+        return analyze_batch(fb)
     fb = holder.get("fb")
     if fb is None:  # zero decodable frames
         import cv2
