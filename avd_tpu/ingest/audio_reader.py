@@ -7,9 +7,13 @@ temp WAV and reads it with libsndfile as float32
 1. ``ffmpeg`` subprocess → raw s16le pipe (no temp file, no libsndfile) when
    the binary exists; sample values are bit-identical to the reference's
    WAV-roundtrip path (s16 / 32768 → float32).
-2. Native WAV read (stdlib ``wave``) + polyphase resample/downmix for .wav
-   inputs — covers hosts without ffmpeg.
-3. Otherwise ``AudioExtractError("ffmpeg_convert_failed")`` — the same error
+2. Native libav* extraction (native/avd_decode.cc): the same
+   libavcodec + libswresample pipeline the ffmpeg CLI wraps, linked
+   directly — covers mp4/AAC/any-container audio on hosts without the
+   binary.
+3. Native WAV read (stdlib ``wave``) + polyphase resample/downmix for .wav
+   inputs — covers hosts without ffmpeg or libav*.
+4. Otherwise ``AudioExtractError("ffmpeg_convert_failed")`` — the same error
    string the reference raises (audio.py:13), which the analyzer maps to the
    neutral timeline contract (audio.py:112-118).
 """
@@ -86,6 +90,16 @@ def load_mono_16k(path: str) -> Tuple[np.ndarray, int]:
     if shutil.which("ffmpeg"):
         wav = _ffmpeg_pcm(path)
         return wav, TARGET_SR
+    if not path.lower().endswith(".wav"):
+        # libav*-linked extraction — s16-mono-16k semantics identical to
+        # the CLI pipeline (same libswresample defaults)
+        try:
+            from avd_tpu.native import decode as native_decode
+            got = native_decode.decode_audio_mono16k(path, TARGET_SR)
+        except Exception:
+            got = None
+        if got is not None:
+            return got[0], TARGET_SR
     if path.lower().endswith(".wav"):
         # C++ decoder (parse + downmix + windowed-sinc resample) first
         try:

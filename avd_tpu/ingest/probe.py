@@ -128,6 +128,22 @@ def _probe_cv2(path: str) -> Dict[str, Any]:
     return meta
 
 
+def _probe_native(path: str) -> Dict[str, Any] | None:
+    """libavformat probe (native/avd_decode.cc) — the same fields ffprobe
+    reports, read through the library the CLI wraps; None when the native
+    feeder is unavailable."""
+    try:
+        from avd_tpu.native import decode
+        info = decode.probe(path)
+    except Exception:
+        return None
+    if info is None:
+        return None
+    meta = _empty_meta()
+    meta.update(info)
+    return meta
+
+
 def probe_basic_meta(path: str) -> Dict[str, Any]:
     """Best-effort container metadata; mirrors _probe_basic_meta output
     (api.py:58-89) across backends."""
@@ -137,4 +153,7 @@ def probe_basic_meta(path: str) -> Dict[str, Any]:
             return _meta_from_ffprobe(info)
     if path.lower().endswith(".wav"):
         return _probe_wav(path)
+    native = _probe_native(path)
+    if native is not None and (native["width"] or native["acodec"]):
+        return native
     return _probe_cv2(path)

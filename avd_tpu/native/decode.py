@@ -54,6 +54,19 @@ class MediaInfoStruct(ctypes.Structure):
     ]
 
 
+class ProbeInfoStruct(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("fps", ctypes.c_double),
+        ("duration", ctypes.c_double),
+        ("bit_rate", ctypes.c_int64),
+        ("vcodec", ctypes.c_char * 32),
+        ("acodec", ctypes.c_char * 32),
+        ("format_name", ctypes.c_char * 64),
+    ]
+
+
 def _build() -> bool:
     try:
         if (os.path.exists(_SO)
@@ -103,6 +116,13 @@ def lib() -> Optional[ctypes.CDLL]:
         L.avd_mux_audio.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                     ctypes.c_int64, ctypes.c_int32]
         L.avd_mux_audio.restype = ctypes.c_int32
+        L.avd_remux_add_audio.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32]
+        L.avd_remux_add_audio.restype = ctypes.c_int32
+        L.avd_probe.argtypes = [ctypes.c_char_p,
+                                ctypes.POINTER(ProbeInfoStruct)]
+        L.avd_probe.restype = ctypes.c_int32
         _LIB = L
         return _LIB
 
@@ -231,4 +251,38 @@ def mux_audio(path: str, samples: np.ndarray, rate: int) -> bool:
     samples = np.ascontiguousarray(samples, np.float32)
     rc = L.avd_mux_audio(path.encode(), samples.ctypes.data,
                          samples.size, rate)
+    return rc == 0
+
+
+def probe(path: str):
+    """Container metadata via libavformat (ffprobe-field-compatible) or
+    None when the library/file is unusable."""
+    L = lib()
+    if L is None:
+        return None
+    info = ProbeInfoStruct()
+    if L.avd_probe(path.encode(), ctypes.byref(info)) != 0:
+        return None
+    return {
+        "width": int(info.width),
+        "height": int(info.height),
+        "fps": float(info.fps),
+        "duration": float(info.duration),
+        "bit_rate": int(info.bit_rate),
+        "vcodec": info.vcodec.decode() or None,
+        "acodec": info.acodec.decode() or None,
+        "format_name": info.format_name.decode() or None,
+    }
+
+
+def remux_add_audio(video_path: str, out_path: str, samples: np.ndarray,
+                    rate: int) -> bool:
+    """Stream-copy the video of `video_path` into `out_path` and add an
+    AAC track with the given mono f32 samples (A/V test fixtures)."""
+    L = lib()
+    if L is None:
+        return False
+    samples = np.ascontiguousarray(samples, np.float32)
+    rc = L.avd_remux_add_audio(video_path.encode(), out_path.encode(),
+                               samples.ctypes.data, samples.size, rate)
     return rc == 0

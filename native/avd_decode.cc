@@ -628,4 +628,169 @@ done:
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// container probe: the fields the reference's _probe_basic_meta extracts
+// from `ffprobe -of json` (/root/reference/api.py:46-89), read through
+// libavformat directly.
+// ---------------------------------------------------------------------------
+
+struct AvdProbeInfo {
+  int32_t width;
+  int32_t height;
+  double fps;            // r_frame_rate of the first video stream
+  double duration;       // format duration, seconds
+  int64_t bit_rate;      // format bit rate
+  char vcodec[32];
+  char acodec[32];
+  char format_name[64];
+};
+
+int32_t avd_probe(const char* path, AvdProbeInfo* out) {
+  av_log_set_level(AV_LOG_ERROR);
+  std::memset(out, 0, sizeof(*out));
+  AVFormatContext* f = nullptr;
+  if (avformat_open_input(&f, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(f, nullptr) < 0) {
+    avformat_close_input(&f);
+    return -1;
+  }
+  for (unsigned i = 0; i < f->nb_streams; i++) {
+    AVCodecParameters* par = f->streams[i]->codecpar;
+    if (par->codec_type == AVMEDIA_TYPE_VIDEO && out->width == 0) {
+      out->width = par->width;
+      out->height = par->height;
+      AVRational fr = f->streams[i]->r_frame_rate;
+      out->fps = fr.den ? av_q2d(fr) : 0.0;
+      snprintf(out->vcodec, sizeof(out->vcodec), "%s",
+               avcodec_get_name(par->codec_id));
+    } else if (par->codec_type == AVMEDIA_TYPE_AUDIO &&
+               out->acodec[0] == '\0') {
+      snprintf(out->acodec, sizeof(out->acodec), "%s",
+               avcodec_get_name(par->codec_id));
+    }
+  }
+  out->duration = f->duration > 0
+                      ? f->duration / static_cast<double>(AV_TIME_BASE)
+                      : 0.0;
+  out->bit_rate = f->bit_rate > 0 ? f->bit_rate : 0;
+  if (f->iformat && f->iformat->name)
+    snprintf(out->format_name, sizeof(out->format_name), "%s",
+             f->iformat->name);
+  avformat_close_input(&f);
+  return 0;
+}
+
+// Remux: copy the video stream of `video_path` and add an AAC track
+// encoding the given mono f32 samples — produces the A/V fixtures the
+// reference exercises through uploaded phone/social clips.  Returns 0 on
+// success.
+int32_t avd_remux_add_audio(const char* video_path, const char* out_path,
+                            const float* samples, int64_t n, int32_t rate) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* in = nullptr;
+  AVFormatContext* out = nullptr;
+  AVCodecContext* enc = nullptr;
+  AVFrame* frm = nullptr;
+  AVPacket* pkt = nullptr;
+  int vin = -1;
+  int rc = -1;
+  int64_t pos = 0, pts = 0;
+  const AVCodec* codec = nullptr;
+  AVStream* vst = nullptr;
+  AVStream* ast = nullptr;
+
+  if (avformat_open_input(&in, video_path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(in, nullptr) < 0) goto done;
+  vin = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vin < 0) goto done;
+  if (avformat_alloc_output_context2(&out, nullptr, nullptr, out_path) < 0)
+    goto done;
+
+  vst = avformat_new_stream(out, nullptr);
+  if (!vst ||
+      avcodec_parameters_copy(vst->codecpar, in->streams[vin]->codecpar) < 0)
+    goto done;
+  vst->codecpar->codec_tag = 0;
+  vst->time_base = in->streams[vin]->time_base;
+
+  codec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  if (!codec) goto done;
+  ast = avformat_new_stream(out, nullptr);
+  enc = avcodec_alloc_context3(codec);
+  if (!ast || !enc) goto done;
+  enc->sample_rate = rate;
+  av_channel_layout_default(&enc->ch_layout, 1);
+  enc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  enc->bit_rate = 96000;
+  enc->time_base = {1, rate};
+  if (out->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) goto done;
+  if (avcodec_parameters_from_context(ast->codecpar, enc) < 0) goto done;
+  ast->time_base = enc->time_base;
+
+  if (!(out->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0)
+    goto done;
+  if (avformat_write_header(out, nullptr) < 0) goto done;
+
+  frm = av_frame_alloc();
+  pkt = av_packet_alloc();
+  if (!frm || !pkt) goto done;
+
+  // 1) copy video packets
+  while (av_read_frame(in, pkt) >= 0) {
+    if (pkt->stream_index == vin) {
+      av_packet_rescale_ts(pkt, in->streams[vin]->time_base,
+                           vst->time_base);
+      pkt->stream_index = vst->index;
+      av_interleaved_write_frame(out, pkt);
+    }
+    av_packet_unref(pkt);
+  }
+  // 2) encode the audio track
+  while (pos < n) {
+    int64_t take = std::min<int64_t>(enc->frame_size, n - pos);
+    frm->nb_samples = enc->frame_size;
+    frm->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_default(&frm->ch_layout, 1);
+    frm->sample_rate = rate;
+    frm->pts = pts;
+    if (av_frame_get_buffer(frm, 0) < 0) goto done;
+    std::memcpy(frm->data[0], samples + pos, take * sizeof(float));
+    if (take < enc->frame_size)
+      std::memset(frm->data[0] + take * sizeof(float), 0,
+                  (enc->frame_size - take) * sizeof(float));
+    frm->nb_samples = static_cast<int>(take);
+    pts += take;
+    pos += take;
+    if (avcodec_send_frame(enc, frm) < 0) goto done;
+    av_frame_unref(frm);
+    while (avcodec_receive_packet(enc, pkt) == 0) {
+      av_packet_rescale_ts(pkt, enc->time_base, ast->time_base);
+      pkt->stream_index = ast->index;
+      av_interleaved_write_frame(out, pkt);
+    }
+  }
+  avcodec_send_frame(enc, nullptr);
+  while (avcodec_receive_packet(enc, pkt) == 0) {
+    av_packet_rescale_ts(pkt, enc->time_base, ast->time_base);
+    pkt->stream_index = ast->index;
+    av_interleaved_write_frame(out, pkt);
+  }
+  av_write_trailer(out);
+  rc = 0;
+done:
+  if (frm) av_frame_free(&frm);
+  if (pkt) av_packet_free(&pkt);
+  if (enc) avcodec_free_context(&enc);
+  if (out) {
+    if (!(out->oformat->flags & AVFMT_NOFILE) && out->pb)
+      avio_closep(&out->pb);
+    avformat_free_context(out);
+  }
+  if (in) avformat_close_input(&in);
+  return rc;
+}
+
 }  // extern "C"

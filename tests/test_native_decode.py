@@ -139,3 +139,27 @@ def test_audio_none_for_video_only(tmp_path):
     clip = fixtures.gradient_clip(30, 64)
     path = fixtures.write_video(tmp_path / "nov.mp4", clip, fps=30.0)
     assert decode.decode_audio_mono16k(path) is None
+
+
+def test_full_pipeline_av_mp4(tmp_path):
+    """End-to-end /analyze flow on an mp4 with BOTH video and audio —
+    the configuration the reference serves (phone/social uploads).  The
+    audio analyzer must produce a real (non-neutral) result via the
+    libav* extraction instead of the no-ffmpeg neutral fallback."""
+    from avd_tpu import pipeline
+
+    clip = fixtures.spliced_clip(90, 96)
+    vpath = fixtures.write_video(tmp_path / "v.mp4", clip, fps=30.0)
+    wav = fixtures.speechy_wav(3.0)
+    out_path = str(tmp_path / "av.mp4")
+    assert decode.remux_add_audio(vpath, out_path, wav, 16000)
+
+    res = pipeline.analyze_path(out_path)
+    assert res["ok"] is True
+    assert "audio_error" not in res["hints"]
+    # a real audio analysis carries the spectral flags, not the fallback
+    assert "tts_like" in res["audio"]["scores"]
+    assert res["audio"]["flags_audio"].get("error") is None
+    tl = res["audio"]["timeline"]
+    assert len(tl) == 3 and any(abs(v - 0.5) > 1e-9 for v in tl)
+    assert res["meta"]["acodec"] == "aac"
