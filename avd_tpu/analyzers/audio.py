@@ -25,18 +25,21 @@ from avd_tpu.ingest import audio_reader
 def _backend() -> str:
     """Audio backend selection.
 
-    Default is the host float64 path: the audio features are <1 % of a
-    clip's compute, and the reference's spectral-flatness formula
-    (exp(mean(log|FFT|)), audio.py:47-50) needs float64 FFT accuracy to
-    stay within the 1e-3 ai_score parity budget on spectrally-pure signals
-    (a float32 FFT's noise floor replaces the true sub-eps sidelobe
-    magnitudes inside the log).  Set AVD_AUDIO_BACKEND=jax to batch the
-    windows on device (validated to ~2e-3 on realistic signals), or
-    AVD_BACKEND=oracle to force the host path globally.
+    Default is the batched device path with a precision split: all
+    features run as one [n_windows, 8000] f32 program on device, and the
+    spectral-flatness column alone is recomputed on host in float64 for
+    the clips that need it — the reference's formula
+    (exp(mean(log|FFT|)), audio.py:47-50) breaks under an f32 FFT only on
+    spectrally-pure signals, and those identify themselves by some
+    window's flatness landing below AVD_AUDIO_FLAT_FLOOR (see
+    ops/audio_features.py).  Validated worst-case timeline deviation vs
+    the f64 oracle: 5e-5 (pure tones exact via the guard) — well inside
+    the 1e-3 ai_score budget.  AVD_AUDIO_BACKEND=host forces the float64
+    host loop; AVD_BACKEND=oracle forces the host path globally.
     """
     if os.getenv("AVD_BACKEND", "jax") == "oracle":
         return "oracle"
-    return os.getenv("AVD_AUDIO_BACKEND", "host")
+    return os.getenv("AVD_AUDIO_BACKEND", "jax")
 
 
 def _neutral(meta: dict, err: str) -> Dict[str, Any]:

@@ -13,11 +13,25 @@ length, so it cannot share the static-shape program; it is computed on the
 host with the identical formulas (``avd_tpu.oracle.audio_ref``) and
 appended.  Aggregation (percentiles, variances, tts_like, timeline
 normalization) runs on host in float64 for bit-parity with the oracle.
+
+Precision split (why this path can be the default within the 1e-3
+ai_score budget): every feature except spectral flatness is insensitive
+to f32 — the s16/32768 samples are exactly representable, zcr/rms are
+short exact reductions, rolloff/centroid errors are sub-bin.  Flatness
+(exp(mean(log|FFT|)), audio.py:47-50) is the one pathology: on
+spectrally-pure signals the true sidelobe magnitudes sit *below* the f32
+FFT noise floor, so their logs are garbage and norm01 amplifies the
+noise across the timeline.  Those clips identify themselves — some
+window's flatness lands near zero — so when ``min(flat) <
+AVD_AUDIO_FLAT_FLOOR`` (default 1e-3) the flatness column alone is
+recomputed on host with one vectorized float64 rFFT; realistic
+speech/music/noise (flatness ≫ 1e-3 in every window) never triggers it.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import numpy as np
@@ -88,6 +102,18 @@ def window_features(wav: np.ndarray, sr: int) -> Dict[str, list]:
         out["flat"] = [float(x) for x in flat]
         out["roll"] = [float(x) for x in roll]
         out["cent"] = [float(x) for x in cent]
+
+        floor = float(os.getenv("AVD_AUDIO_FLAT_FLOOR", "1e-3"))
+        if min(out["flat"]) < floor:
+            # tonal content: redo flatness in float64 on host (vectorized,
+            # one rFFT call), keep the device values for everything else
+            segs64 = (wav[: n_full * win].reshape(n_full, win)
+                      .astype(np.float64))
+            mag = np.abs(np.fft.rfft(segs64 * np.hanning(win)[None, :],
+                                     axis=1)) + 1e-9
+            flat64 = (np.exp(np.mean(np.log(mag), axis=1))
+                      / np.mean(mag, axis=1))
+            out["flat"] = [float(x) for x in flat64]
 
     if tail.size:
         t = audio_ref.window_features(tail.astype(np.float64), sr)

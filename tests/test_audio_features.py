@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from avd_tpu.oracle import audio_ref
+from avd_tpu.ops import audio_features
 from tests import fixtures
 
 
@@ -70,3 +71,30 @@ def test_empty_waveform():
     # reference semantics: empty → rms_arr = zeros(1) → all windows >= the
     # 0.0 percentile → speech_ratio 1.0 (audio.py:63-70)
     assert out["scores"]["speech_ratio"] == 1.0
+
+
+def test_device_default_with_tonal_guard(monkeypatch):
+    """The jax backend is the default and must hold ~1e-4 timeline parity
+    vs the float64 oracle even on spectrally-pure signals — the case that
+    breaks a plain f32 FFT (flatness log-magnitudes below the noise
+    floor).  The flatness column's host-f64 guard covers it."""
+    monkeypatch.delenv("AVD_AUDIO_BACKEND", raising=False)
+    from avd_tpu.analyzers import audio as audio_an
+    assert audio_an._backend() == "jax"
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    for wav in (
+        np.sin(2 * np.pi * 440.0 * t),                       # pure tone
+        np.sin(2 * np.pi * 440.0 * t)
+        + np.sin(2 * np.pi * 1313.0 * t),                    # two-tone
+        fixtures.speechy_wav(4.0),                           # realistic
+    ):
+        wav = (np.round(np.asarray(wav, np.float64) * 16384)
+               / 32768).astype(np.float32)
+        dev = audio_features.analyze_waveform(wav, sr)
+        ora = audio_ref.analyze_waveform(wav.astype(np.float64), sr)
+        np.testing.assert_allclose(dev["timeline"], ora["timeline"],
+                                   atol=2e-4)
+        assert dev["scores"]["tts_like"] == pytest.approx(
+            ora["scores"]["tts_like"], abs=1e-6)
