@@ -422,6 +422,41 @@ def _pad_window(window: np.ndarray, target: int) -> np.ndarray:
     return window
 
 
+@functools.lru_cache(maxsize=2)
+def _cp_fn(mesh):
+    from avd_tpu.parallel import halo
+    return halo.cp_video_pair_features(mesh)
+
+
+def _cp_features(s320: np.ndarray, s32: np.ndarray):
+    """Run the pair features time-sharded over the serving mesh
+    (context parallelism, SURVEY §2.2/§7.7) — None on a single device or
+    for clips too short to shard."""
+    from avd_tpu.parallel import distributed
+    mesh = distributed.cp_mesh()
+    n = s320.shape[0]
+    if mesh is None or n < 2 * mesh.shape["time"]:
+        return None
+    import jax.numpy as jnp
+
+    d = mesh.shape["time"]
+    # pad to power-of-two multiples of the mesh size so clip lengths map
+    # to a handful of compiled shapes
+    per = -(-n // d)
+    bucket = 1
+    while bucket < per:
+        bucket *= 2
+    n_pad = bucket * d
+    if n_pad != n:
+        s320 = np.concatenate([s320, np.repeat(s320[-1:], n_pad - n, 0)])
+        s32 = np.concatenate([s32, np.repeat(s32[-1:], n_pad - n, 0)])
+    fn = _cp_fn(mesh)
+    ham, fmean, fvar, _valid = fn(jnp.asarray(s320), jnp.asarray(s32))
+    k = n - 1  # real consecutive pairs; padded rows are self-pairs
+    return (np.asarray(ham)[:k], np.asarray(fmean)[:k],
+            np.asarray(fvar)[:k])
+
+
 def compute_features(frames: np.ndarray) -> Dict:
     """Per-frame feature lists for a [N, H, W, 3] uint8 BGR batch.
 
@@ -441,6 +476,9 @@ def compute_features(frames: np.ndarray) -> Dict:
         from avd_tpu.serve import batching
 
         small320, small32, tex = _host_prep(frames)
+        cp = _cp_features(small320, small32)
+        if cp is not None:
+            return _assemble(feats, list(tex), *(list(x) for x in cp))
         chunk = _DEFAULT_CHUNK
         batcher = batching.active_batcher()
         pend = []

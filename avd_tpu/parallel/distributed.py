@@ -52,3 +52,20 @@ def global_mesh(axes=("data", "model"), shape=None):
     slice so TP collectives ride ICI and only 'data' crosses DCN."""
     from avd_tpu.parallel import mesh as mesh_mod
     return mesh_mod.make_mesh(None, axes=axes, shape=shape)
+
+
+def cp_mesh():
+    """The serving pipeline's time-axis mesh, or None on a single device.
+
+    When more than one device is visible (a real slice, or the virtual
+    CPU mesh in tests/dryrun) and ``AVD_CP`` isn't 0, the video feature
+    pipeline shards each clip's frame sequence over this mesh with a
+    one-frame halo (parallel/halo.cp_video_pair_features) instead of
+    looping windows through one chip."""
+    import jax
+    if os.getenv("AVD_CP", "1") == "0":
+        return None
+    if len(jax.devices()) < 2:
+        return None
+    from avd_tpu.parallel import mesh as mesh_mod
+    return mesh_mod.make_mesh(None, axes=("time",))

@@ -79,3 +79,37 @@ def cp_frame_deltas(mesh: Mesh, axis: str = "time"):
         d = jnp.abs(cur.astype(jnp.float32) - prev.astype(jnp.float32))
         return jnp.mean(d, axis=tuple(range(1, d.ndim)))
     return cp_consecutive_pairs(mesh, pair_fn, axis)
+
+
+def cp_video_pair_features(mesh: Mesh, axis: str = "time"):
+    """Time-sharded PRODUCTION pair-feature program.
+
+    This is the serving pipeline's actual device work
+    (ops/video_features._prep_body): consecutive-hash Hamming on the
+    [N, 32, 32] hash planes and Farnebäck flow magnitude stats on the
+    [N, 320, 320] flow planes — each device computing its local pairs
+    after the one-frame ``ppermute`` halo.  Matches the inter-frame
+    dependency of reference video.py:37-49.
+
+    Returns jitted ``(flow_u8 [N,320,320], hash_u8 [N,32,32]) →
+    (ham [N], fmean [N], fvar [N], valid [N])`` with row i the feature of
+    pair (i, i+1); N must divide by the mesh's time-axis size.
+    """
+    from avd_tpu.ops import flow as flow_ops
+    from avd_tpu.ops import hashing
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis)),
+             out_specs=(P(axis), P(axis), P(axis), P(axis)),
+             check_vma=False)
+    def sharded(flow_u8, hash_u8):
+        f = with_next_halo(flow_u8, axis).astype(jnp.float32)
+        h8 = with_next_halo(hash_u8, axis).astype(jnp.float32)
+        bits = hashing.average_hash_bits(h8)
+        ham = hashing.consecutive_hamming(bits)
+        fl = flow_ops.farneback_flow(f[:-1], f[1:])
+        fmean, fvar = flow_ops.flow_magnitude_stats(fl)
+        return (ham.astype(jnp.float32), fmean, fvar,
+                pair_valid_mask(flow_u8.shape[0], axis))
+
+    return jax.jit(sharded)

