@@ -43,21 +43,104 @@ class UploadedFile:
             pass
 
 
+class BodyStream:
+    """Unified request-body reader.
+
+    Handles both framings the reference accepts through uvicorn
+    (api.py:91-108 reads UploadFile regardless of transfer encoding):
+
+    * ``Content-Length``: plain bounded reads;
+    * ``Transfer-Encoding: chunked``: de-framed transparently (hex size
+      line, chunk payload, CRLF, zero-chunk + optional trailers).
+
+    ``read(n)`` returns up to n payload bytes, b"" at end-of-body;
+    ``finished`` tells the keep-alive layer whether the body was fully
+    consumed (an unconsumed body forces Connection: close so the next
+    pipelined request doesn't parse leftover bytes)."""
+
+    def __init__(self, rfile, content_length: int = 0,
+                 chunked: bool = False):
+        self._rfile = rfile
+        self._chunked = chunked
+        self._remaining = content_length
+        self._chunk_left = 0
+        self.finished = (content_length <= 0) and not chunked
+
+    def read(self, n: int) -> bytes:
+        if self.finished or n <= 0:
+            return b""
+        if self._chunked:
+            return self._read_chunked(n)
+        take = min(n, self._remaining)
+        data = self._rfile.read(take)
+        self._remaining -= len(data)
+        if self._remaining <= 0 or not data:
+            self.finished = True
+        return data
+
+    def _read_chunked(self, n: int) -> bytes:
+        if self._chunk_left == 0:
+            line = self._rfile.readline(1024)
+            try:
+                size = int(line.split(b";")[0].strip() or b"0", 16)
+            except ValueError:
+                self.finished = True
+                raise HTTPError(400, {"error": "framing chunked non valido"})
+            if size == 0:
+                while True:  # consume optional trailers up to blank line
+                    t = self._rfile.readline(1024)
+                    if t in (b"\r\n", b"\n", b""):
+                        break
+                self.finished = True
+                return b""
+            self._chunk_left = size
+        take = min(n, self._chunk_left)
+        data = self._rfile.read(take)
+        self._chunk_left -= len(data)
+        if self._chunk_left == 0:
+            self._rfile.read(2)  # chunk-terminating CRLF
+        if not data:
+            self.finished = True
+        return data
+
+    def drain(self, cap: int = 64 * 1024 * 1024) -> bool:
+        """Consume the rest of the body (keep-alive hygiene); returns
+        False when more than ``cap`` bytes remained (caller closes)."""
+        spent = 0
+        while not self.finished:
+            chunk = self.read(_CHUNK)
+            if not chunk:
+                break
+            spent += len(chunk)
+            if spent > cap:
+                return False
+        return True
+
+
 class Request:
     def __init__(self, method: str, path: str, query: Dict[str, str],
-                 headers, body_stream, content_length: int):
+                 headers, body_stream: "BodyStream"):
         self.method = method
         self.path = path
         self.query = query
         self.headers = headers
         self._stream = body_stream
-        self.content_length = content_length
         self._body: Optional[bytes] = None
 
-    def body(self, limit: int = 10 * 1024 * 1024) -> bytes:
+    @property
+    def stream(self) -> "BodyStream":
+        return self._stream
+
+    def body(self) -> bytes:
+        """Full body, like Starlette's request.body() (api.py:231)."""
         if self._body is None:
-            n = min(self.content_length, limit)
-            self._body = self._stream.read(n) if n > 0 else b""
+            parts = []
+            while True:
+                chunk = self._stream.read(_CHUNK)
+                if not chunk:
+                    break
+                parts.append(chunk)
+            self._body = b"".join(parts)
         return self._body
 
 
@@ -79,21 +162,16 @@ def parse_multipart(req: Request, max_file_bytes: int,
     boundary = ctype.split("boundary=", 1)[1].strip().strip('"')
     delim = b"--" + boundary.encode()
 
-    remaining = req.content_length
-    stream = req._stream
+    stream = req.stream
     buf = b""
     files: Dict[str, UploadedFile] = {}
     fields: Dict[str, str] = {}
 
     def fill(n: int = _CHUNK) -> bool:
-        nonlocal buf, remaining
-        if remaining <= 0:
-            return False
-        chunk = stream.read(min(n, remaining))
+        nonlocal buf
+        chunk = stream.read(n)
         if not chunk:
-            remaining = 0
             return False
-        remaining -= len(chunk)
         buf += chunk
         return True
 
@@ -276,10 +354,23 @@ class _Handler(BaseHTTPRequestHandler):
     def _handle(self):
         parsed = urlparse(self.path)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-        length = int(self.headers.get("Content-Length") or 0)
-        req = Request(self.command, parsed.path, query, self.headers,
-                      self.rfile, length)
+        chunked = "chunked" in (
+            self.headers.get("Transfer-Encoding") or "").lower()
+        length = 0 if chunked else int(
+            self.headers.get("Content-Length") or 0)
+        body = BodyStream(self.rfile, content_length=length,
+                          chunked=chunked)
+        req = Request(self.command, parsed.path, query, self.headers, body)
         resp = self.app.dispatch(req)
+        # keep-alive hygiene: the next pipelined request must not read
+        # leftover body bytes (e.g. after an early 413)
+        try:
+            drained = body.finished or body.drain()
+        except Exception:
+            drained = False
+        if not drained:
+            self.close_connection = True
+            resp.headers["Connection"] = "close"
         try:
             self.send_response(resp.status)
             for k, v in resp.headers.items():
