@@ -38,7 +38,8 @@ def analyze(path: str, meta: dict) -> Dict[str, Any]:
     # features needing the full decoded batch (detector, freq forensics)
     # use the batch path; plain analysis streams with bounded memory
     whole_batch_features = (_detector_on()
-                            or os.getenv("AVD_FREQ_FORENSICS", "0") == "1")
+                            or os.getenv("AVD_FREQ_FORENSICS", "0") == "1"
+                            or os.getenv("AVD_CHANGE_GATE", "0") == "1")
     if _backend() != "oracle" and os.getenv("AVD_STREAM", "1") == "1" \
             and not whole_batch_features:
         return _analyze_streaming(path, meta)

@@ -39,6 +39,17 @@ _PRESETS = {
     "full": dict(),  # ViTConfig defaults (224px, width 384, depth 6)
 }
 
+# trained-on-synthetic-curriculum checkpoint shipped with the repo
+# (models/train.py; eval numbers in BASELINE.md)
+_DEFAULT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "weights", "detector_small")
+
+
+def _default_preset() -> str:
+    """'small' when the shipped trained checkpoint exists (a real model
+    beats a random-init big one), else the 'full' architecture slot."""
+    return "small" if os.path.isdir(_DEFAULT_CKPT) else "full"
+
 
 @functools.lru_cache(maxsize=1)
 def _bundle():
@@ -49,21 +60,50 @@ def _bundle():
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
-    preset = os.getenv("AVD_DETECTOR_PRESET", "full")
+    preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset())
     cfg = detector.ViTConfig(**_PRESETS.get(preset, {}))
     params = detector.init_params(jax.random.PRNGKey(0), cfg)
     ckpt = os.getenv("AVD_DETECTOR_CKPT")
+    if not ckpt and preset == "small" and os.path.isdir(_DEFAULT_CKPT):
+        ckpt = _DEFAULT_CKPT
     source = "random_init"
     if ckpt:
         params = detector.load_checkpoint(ckpt, params)
         source = ckpt
+
+    # Inference shards over the device mesh when one exists (SURVEY §7.4:
+    # detector forward under pjit, frame axis over 'data', hidden over
+    # 'model'); single-chip serving is the plain jit path.
+    mesh = None
+    if len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from avd_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(None, axes=("data", "model"))
+        params = mesh_mod.shard_params(mesh, params,
+                                       detector.param_specs(cfg))
+
+        @jax.jit
+        def probs_sharded(params, frames_f32):
+            logits = detector.forward(params, frames_f32, cfg,
+                                      sharded=True)[:, 0]
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        def probs(params, frames_f32):
+            frames_f32 = jax.device_put(
+                frames_f32, NamedSharding(mesh, P("data")))
+            with mesh:
+                return probs_sharded(params, frames_f32)
+
+        return cfg, params, probs, source, mesh.shape["data"]
 
     @jax.jit
     def probs(params, frames_f32):
         logits = detector.forward(params, frames_f32, cfg)[:, 0]
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-    return cfg, params, probs, source
+    return cfg, params, probs, source, 1
 
 
 def _prep_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
@@ -90,11 +130,12 @@ def detector_timeline(frames_bgr: np.ndarray) -> Optional[dict]:
         return None
     import jax.numpy as jnp
 
-    cfg, params, probs_fn, source = _bundle()
+    cfg, params, probs_fn, source, min_batch = _bundle()
     batch = _prep_frames(frames_bgr, cfg.image_size)
-    # pad to a power-of-two bucket for stable compile shapes
+    # pad to a power-of-two bucket for stable compile shapes (and to a
+    # multiple of the mesh's data axis when inference is sharded)
     n = batch.shape[0]
-    bucket = 1
+    bucket = min_batch
     while bucket < n:
         bucket *= 2
     if bucket != n:

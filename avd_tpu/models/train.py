@@ -22,26 +22,94 @@ import time
 import numpy as np
 
 
+def _smooth(img: np.ndarray, sigma: float) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.GaussianBlur(img, (0, 0), sigma)
+    except Exception:
+        k = max(3, int(sigma * 4) | 1)
+        kernel = np.ones(k, np.float32) / k
+        for ax in (0, 1):
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, kernel, mode="same"), ax, img)
+        return img
+
+
 def synthetic_batch(rng: np.random.Generator, batch: int, size: int):
-    """Procedural real-vs-AI frames: labels 1 = AI-like (over-smooth)."""
+    """Procedural real-vs-AI frames (labels 1 = AI-like).
+
+    Encodes the cues the reference's heuristics key on (video.py:51-57 —
+    texture, smoothness) with enough intra-class variation that the
+    classes overlap: "camera" frames are structured scenes with sensor
+    noise and demosaic-like sharpness; "generator" frames are the same
+    scenes over-smoothed, denoised, and slightly over-saturated, with
+    randomized strengths."""
     frames = np.empty((batch, size, size, 3), np.float32)
     labels = np.empty((batch,), np.int32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     for i in range(batch):
         ai_like = rng.random() < 0.5
-        base = rng.random((size, size, 3)).astype(np.float32)
+        # a structured "scene": random low-frequency gradients + blobs
+        base = np.zeros((size, size, 3), np.float32)
+        for _ in range(rng.integers(2, 5)):
+            cx, cy = rng.random(2)
+            r = 0.1 + 0.4 * rng.random()
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / r ** 2))
+            base += blob[..., None] * rng.random(3)
+        base += (0.3 * xx * rng.random() + 0.3 * yy * rng.random())[..., None]
+        base /= max(1e-6, base.max())
+        detail = rng.random((size, size, 3)).astype(np.float32)
         if ai_like:
-            # over-smooth, low-texture render
-            k = max(3, size // 8)
-            kernel = np.ones(k) / k
-            for ax in (0, 1):
-                base = np.apply_along_axis(
-                    lambda m: np.convolve(m, kernel, mode="same"), ax, base)
+            # generator-like: heavy smoothing, weak detail, mild
+            # oversaturation, near-zero sensor noise
+            sigma = 1.2 + 2.0 * rng.random()
+            img = _smooth(base + 0.10 * detail, sigma)
+            img = np.clip(img * (1.05 + 0.15 * rng.random()), 0, 1)
+            img += rng.normal(0, 0.004, img.shape).astype(np.float32)
         else:
-            base = 0.6 * base + 0.4 * rng.random(
-                (size, size, 3)).astype(np.float32)
-        frames[i] = np.clip(base, 0, 1)
+            # camera-like: crisp detail + per-pixel sensor noise +
+            # mild sharpening halo
+            img = base + (0.15 + 0.2 * rng.random()) * detail
+            img = np.clip(img, 0, 1)
+            blur = _smooth(img, 1.0)
+            img = np.clip(img + (0.3 * rng.random()) * (img - blur), 0, 1)
+            img += rng.normal(0, 0.01 + 0.02 * rng.random(),
+                              img.shape).astype(np.float32)
+        frames[i] = np.clip(img, 0, 1)
         labels[i] = 1 if ai_like else 0
     return frames, labels
+
+
+def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999):
+    """Held-out synthetic eval → (accuracy, auc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.models import detector
+
+    @jax.jit
+    def probs(p, fb):
+        return jax.nn.sigmoid(
+            detector.forward(p, fb, cfg)[:, 0].astype(jnp.float32))
+
+    rng = np.random.default_rng(seed)
+    ps, ys = [], []
+    for _ in range(n // batch):
+        frames, labels = synthetic_batch(rng, batch, cfg.image_size)
+        ps.append(np.asarray(probs(params, jnp.asarray(frames))))
+        ys.append(labels)
+    p = np.concatenate(ps)
+    y = np.concatenate(ys)
+    acc = float(np.mean((p > 0.5) == (y == 1)))
+    # AUC via rank statistic
+    order = np.argsort(p)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(p) + 1)
+    n_pos = int((y == 1).sum())
+    n_neg = len(y) - n_pos
+    auc = float((ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
+                / max(1, n_pos * n_neg))
+    return acc, auc
 
 
 def _dir_batches(root: str, rng, batch: int, size: int):
@@ -70,7 +138,8 @@ def _dir_batches(root: str, rng, batch: int, size: int):
 def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           out: str | None = None, data: str | None = None,
           image_size: int = 64, width: int = 256, depth: int = 4,
-          heads: int = 4, log_every: int = 10, seed: int = 0):
+          heads: int = 4, log_every: int = 10, seed: int = 0,
+          cache_samples: int = 8192):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +167,18 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     rng = np.random.default_rng(seed)
     batches = (_dir_batches(data, rng, batch, image_size) if data else None)
 
+    # the single shared host core generates ~300 synthetic frames/s while
+    # the chip eats thousands — pre-generate a fixed pool once and sample
+    # epochs from it (fresh-seed held-out eval still measures generalization)
+    pool = None
+    if batches is None and cache_samples:
+        pf, pl = [], []
+        for _ in range(-(-cache_samples // batch)):
+            f, lab = synthetic_batch(rng, batch, image_size)
+            pf.append(f)
+            pl.append(lab)
+        pool = (np.concatenate(pf), np.concatenate(pl))
+
     losses = []
     ctx = mesh or _nullcontext()
     with ctx:
@@ -105,6 +186,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         for step in range(steps):
             if batches is not None:
                 frames, labels = next(batches)
+            elif pool is not None:
+                idx = rng.integers(0, pool[0].shape[0], batch)
+                frames, labels = pool[0][idx], pool[1][idx]
             else:
                 frames, labels = synthetic_batch(rng, batch, image_size)
             fb = jnp.asarray(frames)
@@ -120,6 +204,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 print(f"step {step:5d}  loss {losses[-1]:.4f}  "
                       f"{rate:.1f} frames/s", flush=True)
 
+    acc, auc = evaluate(params, cfg)
+    print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
+          flush=True)
     if out:
         detector.save_checkpoint(out, jax.device_get(params))
         print(f"checkpoint written to {out}", flush=True)

@@ -422,6 +422,96 @@ def _pad_window(window: np.ndarray, target: int) -> np.ndarray:
     return window
 
 
+def _gate_enabled() -> bool:
+    """CBinfer-style change gating (docs/PERFORMANCE.md): skip the flow
+    solve for frame pairs whose 320×320 planes barely changed.  OFF by
+    default — semantics diverge from the reference (cv2 still reports
+    tiny non-zero flow on near-static pairs), so it is an explicitly
+    opt-in fast mode for static-heavy content (dashcams, talking heads,
+    surveillance)."""
+    return os.getenv("AVD_CHANGE_GATE", "0") == "1"
+
+
+def _gate_threshold() -> float:
+    """Mean |Δgray| per pixel (0..255) below which a pair is 'static'."""
+    return float(os.getenv("AVD_CHANGE_GATE_THR", "0.5"))
+
+
+_PAIR_BUCKETS = (12, 24, 36, 48)  # == window-path flow batch shapes, so
+                                  # the Pallas warp kernels are already
+                                  # compiled (each new shape costs minutes)
+
+
+@functools.lru_cache(maxsize=4)
+def _compiled_flow_pairs(b: int):
+    """jit program over b explicit (prev, cur) 320×320 pairs, packed into
+    one u8 vector; returns fmean ‖ fvar."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.ops import flow
+    from avd_tpu.utils import jaxtools
+    jaxtools.setup()
+    n_px = _FLOW_SIZE * _FLOW_SIZE
+
+    def body(packed_u8):
+        prev = packed_u8[:b * n_px].reshape(
+            b, _FLOW_SIZE, _FLOW_SIZE).astype(jnp.float32)
+        cur = packed_u8[b * n_px:].reshape(
+            b, _FLOW_SIZE, _FLOW_SIZE).astype(jnp.float32)
+        fl = flow.farneback_flow(prev, cur)
+        m, v = flow.flow_magnitude_stats(fl)
+        return jnp.concatenate([m.astype(jnp.float32),
+                                v.astype(jnp.float32)])
+
+    return jax.jit(body)
+
+
+def _compute_features_gated(feats: Dict, s320: np.ndarray,
+                            s32: np.ndarray, tex) -> Dict:
+    """Change-gated feature path: hash/duplicates on host (exact integer
+    math, cheap), per-pair mean |Δ| gate on host, Farnebäck only for the
+    pairs that actually moved."""
+    import jax.numpy as jnp
+
+    n = s320.shape[0]
+    # average-hash Hamming on host (same formula as the device program)
+    m32 = s32.reshape(n, -1).astype(np.float32).mean(axis=1)
+    bits = s32.astype(np.float32) > m32[:, None, None]
+    ham = (bits[1:] ^ bits[:-1]).sum(axis=(1, 2)) if n > 1 else \
+        np.zeros((0,), np.int64)
+
+    # the gate: mean |Δ| of consecutive 320×320 planes
+    if n > 1:
+        deltas = np.abs(s320[1:].astype(np.int16)
+                        - s320[:-1].astype(np.int16)).mean(axis=(1, 2))
+        dynamic = np.nonzero(deltas >= _gate_threshold())[0]
+    else:
+        dynamic = np.zeros((0,), np.int64)
+
+    fmean = np.zeros(max(0, n - 1), np.float64)
+    fvar = np.zeros(max(0, n - 1), np.float64)
+    if dynamic.size:
+        start = 0
+        while start < dynamic.size:
+            take = dynamic[start:start + _PAIR_BUCKETS[-1]]
+            b = next(x for x in _PAIR_BUCKETS if x >= take.size)
+            idx = take
+            if take.size < b:  # pad with the first pair of the group
+                idx = np.concatenate(
+                    [take, np.repeat(take[:1], b - take.size)])
+            packed = np.concatenate([s320[idx].reshape(-1),
+                                     s320[idx + 1].reshape(-1)])
+            out = np.asarray(_compiled_flow_pairs(b)(jnp.asarray(packed)))
+            fmean[take] = out[:take.size]
+            fvar[take] = out[b:b + take.size]
+            start += take.size
+
+    feats["skipped_pairs"] = int((n - 1) - dynamic.size) if n > 1 else 0
+    return _assemble(feats, list(tex), ham.tolist(), fmean.tolist(),
+                     fvar.tolist())
+
+
 @functools.lru_cache(maxsize=2)
 def _cp_fn(mesh):
     from avd_tpu.parallel import halo
@@ -476,6 +566,8 @@ def compute_features(frames: np.ndarray) -> Dict:
         from avd_tpu.serve import batching
 
         small320, small32, tex = _host_prep(frames)
+        if _gate_enabled():
+            return _compute_features_gated(feats, small320, small32, tex)
         cp = _cp_features(small320, small32)
         if cp is not None:
             return _assemble(feats, list(tex), *(list(x) for x in cp))
