@@ -67,7 +67,7 @@ def test_no_traceback_without_debug(monkeypatch, tmp_path):
 
 def test_global_handler_debug_exposes_exception(debug_env):
     from avd_tpu.serve import app as app_mod
-    from avd_tpu.serve.http import Request
+    from avd_tpu.serve.http import BodyStream, Request
 
     application = app_mod.build_app()
 
@@ -75,7 +75,7 @@ def test_global_handler_debug_exposes_exception(debug_env):
     def explode(req):
         raise KeyError("boom")
 
-    resp = application.dispatch(Request("GET", "/explode", {}, {}, None, 0))
+    resp = application.dispatch(Request("GET", "/explode", {}, {}, BodyStream(None, 0)))
     assert resp.status == 500
     body = json.loads(resp.body)
     assert body["detail"]["exception"] == "KeyError"
@@ -85,7 +85,7 @@ def test_global_handler_debug_exposes_exception(debug_env):
 def test_global_handler_prod_hides_details():
     config_mod.reset_config()
     from avd_tpu.serve import app as app_mod
-    from avd_tpu.serve.http import Request
+    from avd_tpu.serve.http import BodyStream, Request
 
     application = app_mod.build_app()
 
@@ -93,7 +93,7 @@ def test_global_handler_prod_hides_details():
     def explode(req):
         raise KeyError("boom")
 
-    resp = application.dispatch(Request("GET", "/explode", {}, {}, None, 0))
+    resp = application.dispatch(Request("GET", "/explode", {}, {}, BodyStream(None, 0)))
     assert resp.status == 500
     body = json.loads(resp.body)
     assert body == {"ok": False, "detail": {"error": "Internal server error"}}

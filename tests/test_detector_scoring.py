@@ -27,7 +27,7 @@ def small_detector(monkeypatch):
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     monkeypatch.setattr(scoring, "_bundle",
-                        lambda: (cfg, params, probs, "test_init"))
+                        lambda: (cfg, params, probs, "test_init", 1))
     monkeypatch.setenv("AVD_DETECTOR", "1")
     yield
 
@@ -45,6 +45,27 @@ def test_probability_timeline(small_detector):
     assert len(det["timeline"]) == 5
     assert all(0.0 <= p <= 1.0 for p in det["timeline"])
     assert det["weights"] == "test_init"
+
+
+def test_shipped_checkpoint_is_default(monkeypatch):
+    """The trained checkpoint in models/weights/ loads without any env
+    configuration and separates camera-like from generator-like frames
+    (BASELINE.md round-2 detector eval: 0.998 acc on held-out synthetic)."""
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.delenv("AVD_DETECTOR_CKPT", raising=False)
+    monkeypatch.delenv("AVD_DETECTOR_PRESET", raising=False)
+    scoring._bundle.cache_clear()
+    try:
+        rng = np.random.default_rng(0)
+        noisy = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+        smooth = np.full((2, 64, 64, 3), 128, np.uint8)
+        out_n = scoring.detector_timeline(noisy)
+        out_s = scoring.detector_timeline(smooth)
+        assert out_n["weights"].endswith("detector_small")
+        # camera-like sensor noise scores less AI-like than flat frames
+        assert max(out_n["timeline"]) < min(out_s["timeline"])
+    finally:
+        scoring._bundle.cache_clear()
 
 
 def test_blend_zero_keeps_heuristic(monkeypatch):

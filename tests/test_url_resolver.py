@@ -108,15 +108,15 @@ def test_cors_origin_restriction(monkeypatch):
     config_mod.reset_config()
     try:
         from avd_tpu.serve import app as app_mod
-        from avd_tpu.serve.http import Request
+        from avd_tpu.serve.http import BodyStream, Request
         application = app_mod.build_app()
         req = Request("GET", "/healthz", {}, {
-            "Origin": "https://app.example.com"}, None, 0)
+            "Origin": "https://app.example.com"}, BodyStream(None, 0))
         resp = application.dispatch(req)
         assert resp.headers["Access-Control-Allow-Origin"] == \
             "https://app.example.com"
         req = Request("GET", "/healthz", {}, {
-            "Origin": "https://evil.example.com"}, None, 0)
+            "Origin": "https://evil.example.com"}, BodyStream(None, 0))
         resp = application.dispatch(req)
         assert resp.headers["Access-Control-Allow-Origin"] == \
             "https://app.example.com"  # first configured origin, not evil
