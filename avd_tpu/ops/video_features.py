@@ -166,6 +166,20 @@ def _compiled_prep_packed(n_frames: int):
 _FETCH_GROUP = 4  # packed windows fetched per D2H round trip
 
 
+@functools.lru_cache(maxsize=1)
+def _dispatch_pool():
+    """Single-worker executor that owns the H2D put + device dispatch.
+
+    Shipping one packed 49-frame window over the axon tunnel costs
+    ~145 ms (~5 MB at 30-40 MB/s) and blocks the calling thread; moving
+    the put off the streaming thread lets decode + host prep of chunk
+    k+1 overlap the transfer of chunk k.  One worker keeps device calls
+    ordered (and the tunnel is serial anyway)."""
+    import concurrent.futures
+    return concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="avd-dispatch")
+
+
 @functools.lru_cache(maxsize=4)
 def _compiled_stack_fetch(m: int):
     """Stack m same-shape packed outputs into one array — one D2H round
@@ -561,45 +575,22 @@ def compute_features(frames: np.ndarray) -> Dict:
 
     sinks = ([], [], [], [])
     if _prep_mode() == "host":
-        import jax.numpy as jnp
-
-        from avd_tpu.serve import batching
-
-        small320, small32, tex = _host_prep(frames)
         if _gate_enabled():
+            small320, small32, tex = _host_prep(frames)
             return _compute_features_gated(feats, small320, small32, tex)
-        cp = _cp_features(small320, small32)
-        if cp is not None:
-            return _assemble(feats, list(tex), *(list(x) for x in cp))
-        chunk = _DEFAULT_CHUNK
-        batcher = batching.active_batcher()
-        pend = []
-        start = 0
-        while start < n:
-            valid = min(chunk, n - start)
-            lo = start - 1 if start > 0 else 0
-            target = _bucket_len(valid + 1, chunk)
-            w320 = _pad_window(
-                np.concatenate([small320[lo:lo + 1],
-                                small320[start:start + valid]]), target)
-            w32 = _pad_window(
-                np.concatenate([small32[lo:lo + 1],
-                                small32[start:start + valid]]), target)
-            if batcher is not None:
-                outs = batcher.submit_prep(w320, w32)  # future
-            else:
-                fn = _compiled_prep_packed(target)
-                outs = fn(jnp.asarray(_pack_prep_window(w320, w32)))
-            pend.append((outs, start, valid, target))
-            start += valid
-        for outs, s, valid, target in pend:
-            if batcher is not None:
-                ham, fmean, fvar = outs.result()
-            else:
-                ham, fmean, fvar = _unpack_prep_out(
-                    np.asarray(outs), target)
-            _window_slices(s, valid, None, ham, fmean, fvar, sinks)
-        sinks = (list(tex),) + tuple(sinks[1:])
+        from avd_tpu.parallel import distributed
+        if distributed.cp_mesh() is not None:
+            small320, small32, tex = _host_prep(frames)
+            cp = _cp_features(small320, small32)
+            if cp is not None:
+                return _assemble(feats, list(tex), *(list(x) for x in cp))
+        # windowed dispatch via the streaming path: host prep of window
+        # k+1 overlaps the tunnel put of window k on the dispatch worker
+        # (identical results by construction; a CP mesh too small for this
+        # clip falls through here and just re-preps the few frames)
+        return compute_features_streaming(
+            frames[i:i + _DEFAULT_CHUNK]
+            for i in range(0, n, _DEFAULT_CHUNK))
     else:
         gray = _to_gray_host(frames)
         h, w = gray.shape[1:3]
@@ -653,7 +644,11 @@ def compute_features_streaming(chunk_iter) -> Dict:
             outs = batcher.submit_prep(*windows)  # future (cross-request)
         elif packed_mode:
             fn = _compiled_prep_packed(target)
-            outs = fn(jnp.asarray(_pack_prep_window(*windows)))  # 1 put
+            packed = _pack_prep_window(*windows)
+            # future of a device array: the ~145 ms tunnel put runs on the
+            # dispatch worker, overlapped with next-chunk decode + prep
+            outs = _dispatch_pool().submit(
+                lambda fn=fn, p=packed: fn(jnp.asarray(p)))
         else:  # device-prep mode: full-res gray windows
             fn = _compiled_chunk(target, *parts[0].shape[1:3])
             outs = fn(*(jnp.asarray(w) for w in windows))  # async jax
@@ -691,6 +686,9 @@ def compute_features_streaming(chunk_iter) -> Dict:
         return feats
 
     if packed_mode and pend:
+        # resolve dispatch futures → device arrays (puts already in flight)
+        pend = [(outs.result(), valid, is_first, target)
+                for outs, valid, is_first, target in pend]
         # fetch packed windows in groups of equal shape: one D2H round trip
         # per group (tail windows use a smaller bucket and fetch alone)
         fetched = []
