@@ -186,10 +186,11 @@ def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
     0 <= floor(coord) < size-1.
     """
     B, H, W, C = R1.shape
-    # Pallas pays off where the gather is expensive; the small pyramid
-    # levels stay on the XLA path (their gathers are cheap and each extra
-    # Pallas shape costs minutes of one-time Mosaic compile).
-    if _pallas_warp_enabled() and H % 40 == 0 and H >= 160:
+    # Pallas on every pyramid level: the XLA element gather is slow even
+    # on the small levels (~9 ms at [48,80,80,5], ~5 ms at 40² — measured
+    # round 2; the whole 80+40 levels cost more than the 160 one), so the
+    # select-shift kernel pays for its one-time Mosaic compile everywhere.
+    if _pallas_warp_enabled() and H % 40 == 0 and H >= 40:
         from avd_tpu.ops.pallas import warp as pallas_warp
         warped = pallas_warp.warp_bilinear(
             jnp.transpose(R1, (0, 3, 1, 2)),
@@ -293,6 +294,35 @@ def _box_blur_mean(m: jnp.ndarray, winsize: int) -> jnp.ndarray:
     return x * (1.0 / (winsize * winsize))
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_solve_enabled() -> bool:
+    """Fuse box-blur+solve in one Pallas kernel on TPU (M read once from
+    HBM instead of ~3 round trips); XLA path elsewhere and via
+    AVD_PALLAS_SOLVE=0."""
+    import os
+    mode = os.getenv("AVD_PALLAS_SOLVE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _blur_solve(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
+    """flow = solve(box_blur(M)) — fused Pallas kernel on every pyramid
+    level (the XLA conv blur carries heavy fixed costs at the small
+    levels: 80+40 cost more than the 160 level, round-2 profile)."""
+    H, W = M.shape[1:3]
+    if (_pallas_solve_enabled() and winsize % 2 == 1 and winsize <= 17
+            and H >= 40 and H % 40 == 0 and W >= 40):
+        from avd_tpu.ops.pallas import blur_solve
+        return blur_solve.box_blur_solve(M, winsize)
+    return _solve_flow(_box_blur_mean(M, winsize))
+
+
 def _solve_flow(mblur: jnp.ndarray) -> jnp.ndarray:
     """Regularized per-pixel 2×2 solve → [B,H,W,2] flow."""
     g11 = mblur[..., 0]
@@ -365,11 +395,11 @@ def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
         # fori_loop so XLA compiles it once, not `iterations` times —
         # compile time of the full program drops several-fold.
         M = _update_matrices(R0, R1, flow)
-        flow = _solve_flow(_box_blur_mean(M, winsize))
+        flow = _blur_solve(M, winsize)
         if iterations > 1:
             def refine(_, f):
                 m = _update_matrices(R0, R1, f)
-                return _solve_flow(_box_blur_mean(m, winsize))
+                return _blur_solve(m, winsize)
             flow = jax.lax.fori_loop(0, iterations - 1, refine, flow)
     return flow
 

@@ -45,17 +45,29 @@ def _warmup() -> None:
 
         from avd_tpu.ops import video_features as vf
         if vf._prep_mode() == "host":
-            n = vf._DEFAULT_CHUNK + 1
-            zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
-            zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
             import jax.numpy as jnp
-            packed = vf._pack_prep_window(zero320, zero32)
-            np.asarray(vf._compiled_prep_packed(n)(jnp.asarray(packed)))
-            if get_config().batch_window_ms > 0:
+
+            # every quarter-chunk window bucket: a cold Mosaic compile of
+            # one bucket's Pallas kernels takes ~10 min — a mid-request
+            # first encounter would blow REQUEST_TIMEOUT_S and produce a
+            # neutral result, so tails must be warmed too
+            full = vf._DEFAULT_CHUNK + 1
+            packed_full = None
+            for n in vf._window_buckets(vf._DEFAULT_CHUNK):
+                zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE),
+                                   np.uint8)
+                zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE),
+                                  np.uint8)
+                packed = vf._pack_prep_window(zero320, zero32)
+                np.asarray(vf._compiled_prep_packed(n)(jnp.asarray(packed)))
+                if n == full:
+                    packed_full = packed
+            if get_config().batch_window_ms > 0 and packed_full is not None:
                 # also warm the cross-request stacked buckets (packed)
                 for m in (1, 2, 4):
-                    fm = vf._compiled_prep_stacked_packed(m, n)
-                    sp = np.broadcast_to(packed, (m,) + packed.shape)
+                    fm = vf._compiled_prep_stacked_packed(m, full)
+                    sp = np.broadcast_to(packed_full,
+                                         (m,) + packed_full.shape)
                     np.asarray(fm(jnp.asarray(sp)))
         print(f"[worker {os.getpid()}] warmup complete", flush=True)
     except Exception as e:  # warmup must never kill a worker

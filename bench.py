@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 N_FRAMES = int(os.getenv("AVD_BENCH_FRAMES", "145"))
-H, W = 1080, 1920
+# resolution override: AVD_BENCH_RES=4k measures BASELINE.json config #3
+_RES = {"1080p": (1080, 1920), "4k": (2160, 3840), "720p": (720, 1280)}
+H, W = _RES[os.getenv("AVD_BENCH_RES", "1080p")]
 CPU_FRAMES = int(os.getenv("AVD_BENCH_CPU_FRAMES", "31"))
 REPS = int(os.getenv("AVD_BENCH_REPS", "5"))
 CPU_REPS = int(os.getenv("AVD_BENCH_CPU_REPS", "3"))
@@ -129,7 +131,8 @@ def main() -> int:
     tpu_fps = bench_tpu(frames)
     cpu_fps = bench_cpu(frames[:CPU_FRAMES])
     out = {
-        "metric": "video_forensics_frames_per_sec_1080p",
+        "metric": ("video_forensics_frames_per_sec_"
+                   + os.getenv("AVD_BENCH_RES", "1080p")),
         "value": round(tpu_fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),

@@ -8,10 +8,15 @@ tunnel — completion is forced by fetching a scalar; inputs are put once
 and reused so H2D never pollutes the timings.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# repo root importable when run as a script; do NOT use PYTHONPATH for
+# this — an inherited PYTHONPATH breaks the axon plugin's registration
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(label, fn, *args, reps=3):

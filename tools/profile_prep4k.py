@@ -4,10 +4,14 @@ parts at 1080p vs 4K, to locate what scales worse than pixel count.
 Usage: python tools/profile_prep4k.py [n_frames]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# repo root importable when run as a script (PYTHONPATH breaks axon)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from avd_tpu import native
 
