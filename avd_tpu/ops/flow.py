@@ -129,8 +129,14 @@ def _sep_correlate(img: jnp.ndarray, kv: np.ndarray, kh: np.ndarray,
 
 
 def _gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
-    k = _gaussian_blur_kernel(ksize, sigma)
-    return _sep_correlate(img, k, k, mode="reflect")
+    """Gaussian smooth as banded-matrix matmuls (MXU) — the 1-channel XLA
+    conv lowering pays heavy fixed costs at small spatial sizes (band.py)."""
+    from avd_tpu.ops import band
+    k = tuple(float(x) for x in _gaussian_blur_kernel(ksize, sigma))
+    h, w = img.shape[-2:]
+    return band.apply_separable(img,
+                                band.correlate_matrix(h, k, "reflect"),
+                                band.correlate_matrix(w, k, "reflect"))
 
 
 def _resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
@@ -144,22 +150,40 @@ def _resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
 
 
 def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
-    """[B, H, W] f32 → [B, H, W, 5] polynomial coefficients
+    """[B, H, W] f32 → [B, 5, H, W] polynomial coefficient planes
     (b_x, b_y, c_xx, c_yy, c_xy) with replicate borders."""
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_kernels(n, sigma)
-    # vertical then horizontal separable passes (correlation: k·f(y+k)).
-    b1 = _sep_correlate(img, g, g, "edge")      # smooth
-    b2 = _sep_correlate(img, g, xg, "edge")     # d/dx
-    b3 = _sep_correlate(img, xg, g, "edge")     # d/dy
-    b4 = _sep_correlate(img, g, xxg, "edge")    # x²
-    b5 = _sep_correlate(img, xxg, g, "edge")    # y²
-    b6 = _sep_correlate(img, xg, xg, "edge")    # xy
+    # Vertical then horizontal correlation passes (k·f(y+k)) as banded
+    # matmuls: the three distinct vertical passes are shared across the
+    # six products — 9 MXU matmuls instead of 12 one-channel convs.
+    from avd_tpu.ops import band
+    h, w = img.shape[-2:]
+    tg, txg, txxg = (tuple(float(v) for v in k) for k in (g, xg, xxg))
+    kvg = band.correlate_matrix(h, tg, "edge")
+    kvx = band.correlate_matrix(h, txg, "edge")
+    kvxx = band.correlate_matrix(h, txxg, "edge")
+    khg = band.correlate_matrix(w, tg, "edge")
+    khx = band.correlate_matrix(w, txg, "edge")
+    khxx = band.correlate_matrix(w, txxg, "edge")
+    vg = band.apply_rows(img, kvg)
+    vx = band.apply_rows(img, kvx)
+    vxx = band.apply_rows(img, kvxx)
+    b1 = band.apply_cols(vg, khg)       # smooth
+    b2 = band.apply_cols(vg, khx)       # d/dx
+    b3 = band.apply_cols(vx, khg)       # d/dy
+    b4 = band.apply_cols(vg, khxx)      # x²
+    b5 = band.apply_cols(vxx, khg)      # y²
+    b6 = band.apply_cols(vx, khx)       # xy
     bx = b2 * ig11
     by = b3 * ig11
     cxx = b1 * ig03 + b4 * ig33
     cyy = b1 * ig03 + b5 * ig33
     cxy = b6 * ig55
-    return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+    # channels-FIRST [B, 5, H, W]: a 5-wide minor dim fights the TPU's
+    # 128-lane tiling — every R[..., c] slice forced a relayout (profiled
+    # round 2: the solver's per-iteration XLA glue cost ~12-18 ms at the
+    # SMALL pyramid levels).  W-minor planes keep everything tile-aligned.
+    return jnp.stack([bx, by, cxx, cyy, cxy], axis=1)
 
 
 @functools.lru_cache(maxsize=1)
@@ -180,57 +204,49 @@ def _pallas_warp_enabled() -> bool:
 
 
 def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray):
-    """Bilinear warp of [B,H,W,5] coefficients by [B,H,W,2] flow.
+    """Bilinear warp of [B,5,H,W] coefficients by [B,2,H,W] flow planes.
 
-    Returns (warped, in_bounds) with the OpenCV in-bounds rule
-    0 <= floor(coord) < size-1.
+    Returns (warped [B,5,H,W], in_bounds [B,H,W]) with the OpenCV
+    in-bounds rule 0 <= floor(coord) < size-1.
     """
-    B, H, W, C = R1.shape
+    B, C, H, W = R1.shape
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    fx = xs + flow[:, 0]
+    fy = ys + flow[:, 1]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    inb = (x1 >= 0) & (x1 <= W - 2) & (y1 >= 0) & (y1 <= H - 2)
     # Pallas on every pyramid level: the XLA element gather is slow even
     # on the small levels (~9 ms at [48,80,80,5], ~5 ms at 40² — measured
     # round 2; the whole 80+40 levels cost more than the 160 one), so the
     # select-shift kernel pays for its one-time Mosaic compile everywhere.
     if _pallas_warp_enabled() and H % 40 == 0 and H >= 40:
         from avd_tpu.ops.pallas import warp as pallas_warp
-        warped = pallas_warp.warp_bilinear(
-            jnp.transpose(R1, (0, 3, 1, 2)),
-            jnp.transpose(flow, (0, 3, 1, 2)))
-        warped = jnp.transpose(warped, (0, 2, 3, 1))
-        xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-        ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-        x1 = jnp.floor(xs + flow[..., 0])
-        y1 = jnp.floor(ys + flow[..., 1])
-        inb = (x1 >= 0) & (x1 <= W - 2) & (y1 >= 0) & (y1 <= H - 2)
-        return warped, inb
-    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    fx = xs + flow[..., 0]
-    fy = ys + flow[..., 1]
-    x1 = jnp.floor(fx)
-    y1 = jnp.floor(fy)
+        return pallas_warp.warp_bilinear(R1, flow), inb
+
+    # XLA fallback (CPU tests/odd sizes): corner-block gather in HWC —
+    # layout cost is irrelevant off-TPU, so reuse the channel-minor form.
     a = fx - x1
     b = fy - y1
-    inb = (x1 >= 0) & (x1 <= W - 2) & (y1 >= 0) & (y1 <= H - 2)
     x1c = jnp.clip(x1.astype(jnp.int32), 0, W - 2)
     y1c = jnp.clip(y1.astype(jnp.int32), 0, H - 2)
-
+    R1hwc = jnp.transpose(R1, (0, 2, 3, 1))
     # One lax.gather of [2, 2, C] corner blocks per pixel — measured ~2×
     # faster than four take_along_axis element gathers on TPU (the four
-    # bilinear corners come back in a single sliced access).  TODO(pallas):
-    # a select-shift warp kernel with per-block dynamic displacement bounds
-    # should beat this by another order of magnitude.
+    # bilinear corners come back in a single sliced access).
     idx = jnp.stack([y1c, x1c], axis=-1).reshape(B, H * W, 2)
     corners = jax.vmap(lambda op, ix: jax.lax.gather(
         op, ix,
         jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2, 3), collapsed_slice_dims=(),
             start_index_map=(0, 1)),
-        slice_sizes=(2, 2, C), mode="clip"))(R1, idx)
+        slice_sizes=(2, 2, C), mode="clip"))(R1hwc, idx)
     corners = corners.reshape(B, H, W, 2, 2, C)
     wy = jnp.stack([1 - b, b], axis=-1)
     wx = jnp.stack([1 - a, a], axis=-1)
     warped = jnp.einsum("bhwyxc,bhwy,bhwx->bhwc", corners, wy, wx)
-    return warped, inb
+    return jnp.transpose(warped, (0, 3, 1, 2)), inb
 
 
 @functools.lru_cache(maxsize=32)
@@ -249,24 +265,23 @@ def _border_taper(h: int, w: int) -> np.ndarray:
 
 def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray,
                      flow: jnp.ndarray) -> jnp.ndarray:
-    """Pointwise normal-equation entries M=[G11,G12,G22,h1,h2] per pixel."""
-    H, W = R0.shape[1:3]
+    """Pointwise normal-equation entries M=[B,5,H,W] (G11,G12,G22,h1,h2)
+    from channels-first polynomial fields and flow planes."""
+    H, W = R0.shape[2:4]
     R1w, inb = _warp_poly(R1, flow)
-    inb = inb[..., None]
 
     # averaged quadratic coefficients; cross term carries an extra 1/2
     # because the stored channel is the full cross coefficient.
-    r4 = jnp.where(inb[..., 0], (R0[..., 2] + R1w[..., 2]) * 0.5, R0[..., 2])
-    r5 = jnp.where(inb[..., 0], (R0[..., 3] + R1w[..., 3]) * 0.5, R0[..., 3])
-    r6 = jnp.where(inb[..., 0], (R0[..., 4] + R1w[..., 4]) * 0.25,
-                   R0[..., 4] * 0.5)
+    r4 = jnp.where(inb, (R0[:, 2] + R1w[:, 2]) * 0.5, R0[:, 2])
+    r5 = jnp.where(inb, (R0[:, 3] + R1w[:, 3]) * 0.5, R0[:, 3])
+    r6 = jnp.where(inb, (R0[:, 4] + R1w[:, 4]) * 0.25, R0[:, 4] * 0.5)
 
-    b1w = jnp.where(inb[..., 0], R1w[..., 0], 0.0)
-    b2w = jnp.where(inb[..., 0], R1w[..., 1], 0.0)
-    dx = flow[..., 0]
-    dy = flow[..., 1]
-    r2 = (R0[..., 0] - b1w) * 0.5 + r4 * dx + r6 * dy
-    r3 = (R0[..., 1] - b2w) * 0.5 + r6 * dx + r5 * dy
+    b1w = jnp.where(inb, R1w[:, 0], 0.0)
+    b2w = jnp.where(inb, R1w[:, 1], 0.0)
+    dx = flow[:, 0]
+    dy = flow[:, 1]
+    r2 = (R0[:, 0] - b1w) * 0.5 + r4 * dx + r6 * dy
+    r3 = (R0[:, 1] - b2w) * 0.5 + r6 * dx + r5 * dy
 
     taper = jnp.asarray(_border_taper(H, W))[None]
     r2 = r2 * taper
@@ -280,18 +295,15 @@ def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray,
     g22 = r5 * r5 + r6 * r6
     h1 = r4 * r2 + r6 * r3
     h2 = r6 * r2 + r5 * r3
-    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+    return jnp.stack([g11, g12, g22, h1, h2], axis=1)
 
 
 def _box_blur_mean(m: jnp.ndarray, winsize: int) -> jnp.ndarray:
-    """Separable box mean over [B,H,W,C] with replicate borders."""
-    half = (winsize - 1) // 2
+    """Separable box mean over [B,C,H,W] with replicate borders."""
     k = np.ones(winsize, np.float32)
-    B, H, W, C = m.shape
-    x = m.transpose(0, 3, 1, 2).reshape(B * C, H, W)
-    x = _sep_correlate(x, k, k, "edge")
-    x = x.reshape(B, C, H, W).transpose(0, 2, 3, 1)
-    return x * (1.0 / (winsize * winsize))
+    B, C, H, W = m.shape
+    x = _sep_correlate(m.reshape(B * C, H, W), k, k, "edge")
+    return x.reshape(B, C, H, W) * (1.0 / (winsize * winsize))
 
 
 @functools.lru_cache(maxsize=1)
@@ -312,10 +324,11 @@ def _pallas_solve_enabled() -> bool:
 
 
 def _blur_solve(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
-    """flow = solve(box_blur(M)) — fused Pallas kernel on every pyramid
-    level (the XLA conv blur carries heavy fixed costs at the small
-    levels: 80+40 cost more than the 160 level, round-2 profile)."""
-    H, W = M.shape[1:3]
+    """flow = solve(box_blur(M)) on [B,5,H,W] — fused Pallas kernel on
+    every pyramid level (the XLA conv blur carries heavy fixed costs at
+    the small levels: 80+40 cost more than the 160 level, round-2
+    profile)."""
+    H, W = M.shape[2:4]
     if (_pallas_solve_enabled() and winsize % 2 == 1 and winsize <= 17
             and H >= 40 and H % 40 == 0 and W >= 40):
         from avd_tpu.ops.pallas import blur_solve
@@ -324,16 +337,16 @@ def _blur_solve(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
 
 
 def _solve_flow(mblur: jnp.ndarray) -> jnp.ndarray:
-    """Regularized per-pixel 2×2 solve → [B,H,W,2] flow."""
-    g11 = mblur[..., 0]
-    g12 = mblur[..., 1]
-    g22 = mblur[..., 2]
-    h1 = mblur[..., 3]
-    h2 = mblur[..., 4]
+    """Regularized per-pixel 2×2 solve on [B,5,H,W] → [B,2,H,W] flow."""
+    g11 = mblur[:, 0]
+    g12 = mblur[:, 1]
+    g22 = mblur[:, 2]
+    h1 = mblur[:, 3]
+    h2 = mblur[:, 4]
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     fx = (g22 * h1 - g12 * h2) * idet
     fy = (g11 * h2 - g12 * h1) * idet
-    return jnp.stack([fx, fy], axis=-1)
+    return jnp.stack([fx, fy], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -374,21 +387,27 @@ def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
     B, H, W = prev.shape
     plan = _level_plan(H, W, pyr_scale, levels)
 
+    from avd_tpu.ops import band
+
     flow = None
     for li, (scale, sigma, ksize, lh, lw) in enumerate(plan):
-        i0 = _resize_bilinear(_gaussian_blur(prev, ksize, sigma), lh, lw)
-        i1 = _resize_bilinear(_gaussian_blur(cur, ksize, sigma), lh, lw)
+        # per-level smooth + downscale collapse into ONE composed matrix
+        # per axis (both are linear maps): 2 MXU matmuls per image instead
+        # of two convs + two matmuls (band.py rationale)
+        gk = tuple(float(x) for x in _gaussian_blur_kernel(ksize, sigma))
+        rm = band.blur_resize_matrix(H, lh, gk)
+        cm = band.blur_resize_matrix(W, lw, gk)
+        i0 = band.apply_separable(prev, rm, cm)
+        i1 = band.apply_separable(cur, rm, cm)
         R0 = poly_expansion(i0, poly_n, poly_sigma)
         R1 = poly_expansion(i1, poly_n, poly_sigma)
 
         if flow is None:
-            flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+            flow = jnp.zeros((B, 2, lh, lw), jnp.float32)
         else:
             up = _resize_bilinear(
-                flow.transpose(0, 3, 1, 2).reshape(B * 2, *flow.shape[1:3]),
-                lh, lw)
-            flow = (up.reshape(B, 2, lh, lw).transpose(0, 2, 3, 1)
-                    * (1.0 / pyr_scale))
+                flow.reshape(B * 2, *flow.shape[2:4]), lh, lw)
+            flow = up.reshape(B, 2, lh, lw) * (1.0 / pyr_scale)
 
         # first solve from the incoming flow's matrices, then
         # (iterations-1) refinement rounds.  The refinement body is a
@@ -401,7 +420,8 @@ def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
                 m = _update_matrices(R0, R1, f)
                 return _blur_solve(m, winsize)
             flow = jax.lax.fori_loop(0, iterations - 1, refine, flow)
-    return flow
+    # external contract stays [B, H, W, 2] (one transpose at the end)
+    return jnp.transpose(flow, (0, 2, 3, 1))
 
 
 def flow_magnitude_stats(flow: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

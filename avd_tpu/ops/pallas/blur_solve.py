@@ -84,21 +84,20 @@ def _kernel(mpad_ref, out_ref, *, bh: int, w_valid: int, winsize: int):
 def box_blur_solve(M: jnp.ndarray, winsize: int = 15,
                    block_rows: int = 40,
                    interpret: bool = False) -> jnp.ndarray:
-    """[B, H, W, 5] M field → [B, H, W, 2] flow.
+    """[B, 5, H, W] M field (channels-first) → [B, 2, H, W] flow planes.
 
     Semantically identical (up to f32 accumulation order) to
     ``_solve_flow(_box_blur_mean(M, winsize))`` in ops/flow.py.
     """
-    B, H, W, C = M.shape
+    B, C, H, W = M.shape
     assert C == _C
     bh = min(block_rows, H)
     assert H % bh == 0 and bh % 8 == 0, (H, bh)
     assert winsize % 2 == 1 and (winsize - 1) // 2 <= _PAD8
 
-    Mt = jnp.transpose(M, (0, 3, 1, 2))  # [B, C, H, W]
-    top = jnp.broadcast_to(Mt[:, :, :1], (B, _C, _PAD8, W))
-    bot = jnp.broadcast_to(Mt[:, :, -1:], (B, _C, _PAD8, W))
-    Mp = jnp.concatenate([top, Mt, bot], axis=2)
+    top = jnp.broadcast_to(M[:, :, :1], (B, _C, _PAD8, W))
+    bot = jnp.broadcast_to(M[:, :, -1:], (B, _C, _PAD8, W))
+    Mp = jnp.concatenate([top, M, bot], axis=2)
     Wp = -(-W // 128) * 128
     if Wp != W:
         Mp = jnp.concatenate(
@@ -117,4 +116,4 @@ def box_blur_solve(M: jnp.ndarray, winsize: int = 15,
         out_shape=jax.ShapeDtypeStruct((B, 2, H, Wp), jnp.float32),
         interpret=interpret,
     )(Mp)
-    return jnp.transpose(out[:, :, :, :W], (0, 2, 3, 1))
+    return out[:, :, :, :W]

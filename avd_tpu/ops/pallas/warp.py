@@ -9,20 +9,29 @@ Insight: after the 15×15 box blur, the flow field is locally smooth, so
 within a row block the set of *distinct integer displacements* is tiny.
 The kernel therefore:
 
-1. loads the whole 5-plane source image into VMEM (320²×5×f32 = 2 MB);
+1. loads the 5-plane source image (pre-padded by a block of finite rows
+   top/bottom) into VMEM;
 2. per row block, computes the block's integer displacement bounding box
-   from the flow (scalar min/max reductions);
+   from the flow — over IN-BOUNDS pixels only.  Out-of-bounds pixels'
+   clamped coordinates would otherwise widen the box to the full clamp
+   tail (e.g. a uniform +61 px pan makes edge blocks scan 60+ columns);
+   their warped values are discarded by the caller anyway
+   (ops/flow._update_matrices masks on the separately-computed in-bounds
+   plane), so this kernel writes 0 there and keeps the box tight;
 3. loops over just that (dy, dx) range with a dynamic-trip-count
    ``fori_loop``, accumulating ``weight(dy,dx) ⊙ shifted(source)`` where
-   the weight folds both bilinear fractions and the coordinate-match
-   masks — pure VPU work, no random access;
-4. out-of-range wraparound reads are masked to zero by construction
-   (a wrapped position can never satisfy its coordinate-match mask).
+   the weight folds the bilinear fractions, the coordinate-match masks,
+   and the in-bounds mask — pure VPU work, no random access.  Row
+   fetches are an 8-aligned dynamic slice of bh+8 rows plus a sublane
+   roll of the small buffer (round 3; previously each dy rotated the
+   whole image: ~6.7× more row traffic);
+4. if a block has no in-bounds pixel, both trip counts are 0 and the
+   block outputs zeros.
 
 Worst case (spatially chaotic flow) degrades to range-area iterations but
-stays correct; typical video is 2-4 iterations per block.  Semantics match
-the XLA path bit-for-bit up to f32 accumulation order
-(tests/test_pallas_warp.py).
+stays correct.  Semantics match the XLA path bit-for-bit up to f32
+accumulation order ON IN-BOUNDS PIXELS (tests/test_pallas_warp.py);
+out-of-bounds pixels are 0 by contract.
 """
 
 from __future__ import annotations
@@ -38,30 +47,28 @@ _C = 5  # polynomial coefficient channels
 
 
 def _warp_kernel(flow_ref, src_ref, out_ref, rows_ref, acc_ref, *,
-                 w_valid: int):
+                 w_valid: int, h_valid: int, bh: int):
     """Grid: (B, H // BH).
 
     flow_ref: [1, 2, BH, W] block (dx plane, dy plane)
-    src_ref:  [1, C, H, W]  full image for this batch element
+    src_ref:  [1, C, BH + H + BH + 8, W] — source pre-padded with BH
+              finite rows top and BH+8 bottom (never consumed: weights
+              are zero there; padding only keeps slices in range)
     out_ref:  [1, C, BH, W]
-    rows_ref: VMEM scratch [C, BH, W]  (row-rotated source window)
+    rows_ref: VMEM scratch [C·(BH+8), W] — per-channel aligned row
+              windows, residue-rolled at write time (a single stacked
+              big-tile roll was measured slightly SLOWER: roll element
+              volume, not op count, is the limit).
     acc_ref:  VMEM scratch [C, BH, W]
-
-    Shifts use ``pltpu.roll`` (tpu.dynamic_rotate) — Mosaic supports
-    dynamic rotate amounts, while dynamic ref slices must be tile-aligned.
-    Wrapped-around values can never satisfy their coordinate-match mask, so
-    rotation wraparound is harmless by construction.
     """
-    h = src_ref.shape[2]
-    w = src_ref.shape[3]
-    bh = flow_ref.shape[2]
+    wp = src_ref.shape[3]
     r = pl.program_id(1)
     y0 = r * bh
 
     dxf = flow_ref[0, 0]
     dyf = flow_ref[0, 1]
-    xsi = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
-    ysi = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + y0
+    xsi = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
+    ysi = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + y0
     xs = xsi.astype(jnp.float32)
     ys = ysi.astype(jnp.float32)
 
@@ -71,39 +78,51 @@ def _warp_kernel(flow_ref, src_ref, out_ref, rows_ref, acc_ref, *,
     y1f = jnp.floor(fy)
     a = fx - x1f
     b = fy - y1f
+    # OpenCV in-bounds rule (0 <= floor < size-1); the caller discards
+    # warped values outside it, so the displacement box ignores them.
+    inb = ((x1f >= 0) & (x1f <= w_valid - 2)
+           & (y1f >= 0) & (y1f <= h_valid - 2)
+           & (xsi < w_valid))
     x1 = jnp.clip(x1f, 0, w_valid - 2).astype(jnp.int32)
-    y1 = jnp.clip(y1f, 0, h - 2).astype(jnp.int32)
+    y1 = jnp.clip(y1f, 0, h_valid - 2).astype(jnp.int32)
 
-    # integer displacement bounding box (relative to output coordinates),
-    # restricted to the valid columns — the lane-padding columns carry
-    # replicated flow whose clamped rel_x would otherwise widen the box
+    big = jnp.int32(1 << 20)
     rel_y = y1 - ysi
-    rel_x = (x1 - xsi)[:, :w_valid]
-    dy_lo = jnp.min(rel_y)
-    ny = jnp.max(rel_y) + 1 - dy_lo + 1  # +1 row for the y1+1 corner
-    dx_lo = jnp.min(rel_x)
-    nx = jnp.max(rel_x) + 1 - dx_lo + 1
+    rel_x = x1 - xsi
+    dy_lo = jnp.min(jnp.where(inb, rel_y, big))
+    dy_hi = jnp.max(jnp.where(inb, rel_y, -big))
+    dx_lo = jnp.min(jnp.where(inb, rel_x, big))
+    dx_hi = jnp.max(jnp.where(inb, rel_x, -big))
+    ny = jnp.maximum(dy_hi + 2 - dy_lo, 0)  # +1 row for the y1+1 corner
+    nx = jnp.maximum(dx_hi + 2 - dx_lo, 0)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    nbuf = bh + 8
 
     def body_dy(iy, _):
         dy = dy_lo + iy
-        wy = (jnp.where(y1 - ysi == dy, 1.0 - b, 0.0)
-              + jnp.where(y1 + 1 - ysi == dy, b, 0.0))
-        # rotate rows so source row (y0+dy) lands on block row 0
-        vshift = jnp.mod(-(y0 + dy), h)
+        wy = (jnp.where(inb & (rel_y == dy), 1.0 - b, 0.0)
+              + jnp.where(inb & (rel_y + 1 == dy), b, 0.0))
+        # source rows [y0+dy, y0+dy+bh) in padded coords start at st;
+        # fetch the surrounding 8-aligned windows (one per channel, into
+        # the stacked scratch), then roll the <8 residue away in ONE op —
+        # the residue can't cross a channel segment (nbuf = bh + 8)
+        st = y0 + dy + bh  # + top pad
+        st8 = (st // 8) * 8
+        vshift = (-(st - st8)) % nbuf
         for c in range(_C):
-            rot = pltpu.roll(src_ref[0, c], vshift, 0)
-            rows_ref[c] = rot[0:bh]
+            rows_ref[pl.ds(c * nbuf, nbuf), :] = pltpu.roll(
+                src_ref[0, c, pl.ds(st8, nbuf), :], vshift, 0)
 
         def body_dx(ix, _):
             dx = dx_lo + ix
-            wx = (jnp.where(x1 - xsi == dx, 1.0 - a, 0.0)
-                  + jnp.where(x1 + 1 - xsi == dx, a, 0.0))
+            wx = (jnp.where(rel_x == dx, 1.0 - a, 0.0)
+                  + jnp.where(rel_x + 1 == dx, a, 0.0))
             wgt = wy * wx
-            hshift = jnp.mod(-dx, w)
+            hshift = (-dx) % wp
             for c in range(_C):
-                acc_ref[c] += wgt * pltpu.roll(rows_ref[c], hshift, 1)
+                acc_ref[c] += wgt * pltpu.roll(
+                    rows_ref[pl.ds(c * nbuf, bh), :], hshift, 1)
             return 0
 
         jax.lax.fori_loop(0, nx, body_dx, 0)
@@ -119,9 +138,11 @@ def warp_bilinear(src: jnp.ndarray, flow: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
     """Bilinear warp of [B, C=5, H, W] by [B, 2, H, W] flow (dx, dy planes).
 
-    Samples src at (y + dy, x + dx) with floor coordinates clamped to
-    [0, size-2] — identical semantics to the XLA gather path in
-    avd_tpu.ops.flow._warp_poly.
+    Samples src at (y + dy, x + dx) like the XLA gather path in
+    avd_tpu.ops.flow._warp_poly, EXCEPT that pixels failing the OpenCV
+    in-bounds rule (0 <= floor(coord) < size-1) return 0 — callers mask
+    them via the in-bounds plane, and excluding them keeps each block's
+    displacement box tight (docstring pt. 2).
 
     The width is padded to a lane multiple (128) internally because
     tpu.dynamic_rotate requires aligned shapes; wrapped/padded reads are
@@ -130,23 +151,27 @@ def warp_bilinear(src: jnp.ndarray, flow: jnp.ndarray,
     bsz, c, h, w = src.shape
     assert c == _C
     bh = min(block_rows, h)
-    assert h % bh == 0, (h, bh)
+    assert h % bh == 0 and bh % 8 == 0, (h, bh)
 
     w_pad = -(-w // 128) * 128
     if w_pad != w:
         src = jnp.pad(src, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
         flow = jnp.pad(flow, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)),
                        mode="edge")
+    # finite top/bottom row padding so every 8-aligned row window of the
+    # dy scan stays in range (values under zero weight, never consumed)
+    src = jnp.pad(src, ((0, 0), (0, 0), (bh, bh + 8), (0, 0)))
 
     grid = (bsz, h // bh)
-    kernel = functools.partial(_warp_kernel, w_valid=w)
+    kernel = functools.partial(_warp_kernel, w_valid=w, h_valid=h, bh=bh)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2, bh, w_pad), lambda bi, ri: (bi, 0, ri, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _C, h, w_pad), lambda bi, ri: (bi, 0, 0, 0),
+            pl.BlockSpec((1, _C, h + 2 * bh + 8, w_pad),
+                         lambda bi, ri: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _C, bh, w_pad),
@@ -154,7 +179,7 @@ def warp_bilinear(src: jnp.ndarray, flow: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, _C, h, w_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_C, bh, w_pad), jnp.float32),
+            pltpu.VMEM((_C * (bh + 8), w_pad), jnp.float32),
             pltpu.VMEM((_C, bh, w_pad), jnp.float32),
         ],
         interpret=interpret,

@@ -5,6 +5,7 @@ Random unconstrained M fields make the 2×2 solve nearly singular at
 scattered pixels (det+1e-3 ≈ 1e-3), where ANY change in f32 accumulation
 order is amplified ~1000×; tests therefore compare either the blur on
 realistic positive-semidefinite G entries or well-conditioned solves.
+All layouts are channels-first [B, 5, H, W] (ops/flow round-3 layout).
 """
 
 import numpy as np
@@ -33,7 +34,7 @@ def _psd_case(seed, b, h, w):
     g11 = r4 * r4 + r6 * r6
     g12 = (r4 + r5) * r6
     g22 = r5 * r5 + r6 * r6
-    return np.stack([g11, g12, g22, h1, h2], axis=-1)
+    return np.stack([g11, g12, g22, h1, h2], axis=1)
 
 
 @pytest.mark.parametrize("shape", [(2, 80, 96), (1, 40, 128), (1, 120, 130)])
@@ -47,10 +48,10 @@ def test_matches_xla_blur_solve(shape):
 def test_well_conditioned_exact():
     """With fixed PD G the solve is linear in h — agreement to f32 eps."""
     rng = np.random.default_rng(1)
-    M = rng.normal(size=(1, 80, 96, 5)).astype(np.float32)
-    M[..., 0] = 2.0
-    M[..., 1] = 0.0
-    M[..., 2] = 3.0
+    M = rng.normal(size=(1, 5, 80, 96)).astype(np.float32)
+    M[:, 0] = 2.0
+    M[:, 1] = 0.0
+    M[:, 2] = 3.0
     M = jnp.asarray(M)
     ours = np.asarray(blur_solve.box_blur_solve(M, interpret=True))
     np.testing.assert_allclose(ours, _xla(M), atol=1e-6)
@@ -58,17 +59,17 @@ def test_well_conditioned_exact():
 
 def test_replicate_edges():
     """Constant field must blur to itself everywhere incl. borders."""
-    M = np.zeros((1, 40, 136, 5), np.float32)
-    M[..., 0] = 4.0
-    M[..., 2] = 4.0
-    M[..., 3] = 2.0
-    M[..., 4] = -2.0
+    M = np.zeros((1, 5, 40, 136), np.float32)
+    M[:, 0] = 4.0
+    M[:, 2] = 4.0
+    M[:, 3] = 2.0
+    M[:, 4] = -2.0
     M = jnp.asarray(M)
     out = np.asarray(blur_solve.box_blur_solve(M, interpret=True))
     # g=diag(4,4), h=(2,-2) → flow = h/(g + reg/…) ≈ (0.5, -0.5)
     ref = _xla(M)
     np.testing.assert_allclose(out, ref, atol=1e-6)
-    np.testing.assert_allclose(out[..., 0], 2.0 * 4.0 / (16.0 + 1e-3),
+    np.testing.assert_allclose(out[:, 0], 2.0 * 4.0 / (16.0 + 1e-3),
                                atol=1e-6)
 
 

@@ -63,7 +63,7 @@ def main():
 
     R0 = pe(prev)
     R1 = pe(cur)
-    f0 = jnp.zeros((b, h, w, 2), jnp.float32)
+    f0 = jnp.zeros((b, 2, h, w), jnp.float32)
 
     upd = jax.jit(flow._update_matrices)
     t_upd = timeit("update_matrices (warp incl.)", upd, R0, R1, f0)
