@@ -22,9 +22,24 @@ def main(argv=None) -> int:
     ap.add_argument("--indent", type=int, default=None)
     args = ap.parse_args(argv)
 
+    import os
     if args.backend:
-        import os
         os.environ["AVD_BACKEND"] = args.backend
+
+    if os.getenv("AVD_BACKEND", "jax") == "jax":
+        # Load the device programs BEFORE the timed analyzers: the first
+        # execution per process pays the remote program load (minutes on
+        # a cold remote compile cache) even on a persistent-cache hit,
+        # which would otherwise burn the analyzer timeout into a silent
+        # neutral result.
+        try:
+            import jax
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                from avd_tpu.ops import video_features
+                video_features.warm_device(
+                    log=lambda m: print(m, file=sys.stderr, flush=True))
+        except Exception:
+            pass  # warm-up is best-effort; analysis proceeds regardless
 
     result = pipeline.analyze_path(args.path)
     json.dump(result, sys.stdout, indent=args.indent)

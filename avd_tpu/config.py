@@ -43,6 +43,13 @@ class Config:
     max_upload_bytes: int = 50 * 1024 * 1024
     resolver_max_bytes: int = 120 * 1024 * 1024
     request_timeout_s: int = 180
+    # extra analyzer-timeout budget while the process hasn't executed a
+    # device feature program yet: first execution pays the remote
+    # Mosaic/XLA program load (minutes cold) even on a persistent-cache
+    # hit.  Serving warms at boot so live requests keep the exact 180 s
+    # reference behavior; this only rescues cold CLI/batch runs from
+    # silently returning the neutral fallback.  0 disables.
+    cold_grace_s: int = 420
 
     # --- feature gates (api.py:25-26) ---
     use_ytdlp: bool = True
@@ -83,6 +90,7 @@ class Config:
             max_upload_bytes=_env_int("MAX_UPLOAD_BYTES", 50 * 1024 * 1024),
             resolver_max_bytes=_env_int("RESOLVER_MAX_BYTES", 120 * 1024 * 1024),
             request_timeout_s=_env_int("REQUEST_TIMEOUT_S", 180),
+            cold_grace_s=_env_int("AVD_COLD_GRACE_S", 420),
             use_ytdlp=_env_bool("USE_YTDLP", True),
             debug=_env_bool("DEBUG", False),
             allowed_origins=os.getenv("ALLOWED_ORIGINS", "*"),

@@ -52,6 +52,43 @@ def _prep_mode() -> str:
     return os.getenv("AVD_PREP", "host")
 
 
+# True once any device feature program has completed an execution in this
+# process.  First execution of a program pays the remote Mosaic/XLA load
+# (minutes when the remote compile cache is cold — measured 224 s for the
+# 49-frame bucket) even on a persistent-cache hit, so the pipeline's
+# analyzer timeout grants a cold-start grace until this flips
+# (pipeline._analyzer_timeout).  Serving warmup flips it at boot.
+_DEVICE_WARM = False
+
+
+def device_warmed() -> bool:
+    return _DEVICE_WARM
+
+
+def mark_device_warm() -> None:
+    global _DEVICE_WARM
+    _DEVICE_WARM = True
+
+
+def warm_device(log=None) -> None:
+    """Execute every streaming window bucket's packed prep program once
+    (zero input), so the remote program load happens HERE instead of
+    inside a timed analyzer call.  No-op when already warm or in
+    device-prep mode.  Serving warmup and the CLI entry both use this."""
+    if _DEVICE_WARM or _prep_mode() != "host":
+        return
+    import jax.numpy as jnp
+    for n in _window_buckets(_DEFAULT_CHUNK):
+        if log is not None:
+            log(f"warming {n}-frame device window (first run per process "
+                "can take minutes on a cold remote compile cache)...")
+        zero320 = np.zeros((n, _FLOW_SIZE, _FLOW_SIZE), np.uint8)
+        zero32 = np.zeros((n, _HASH_SIZE, _HASH_SIZE), np.uint8)
+        packed = _pack_prep_window(zero320, zero32)
+        np.asarray(_compiled_prep_packed(n)(jnp.asarray(packed)))
+    mark_device_warm()
+
+
 def _window_buckets(chunk: int):
     """Window lengths (incl. the 1-frame lead-in) the tail may round up to.
 
@@ -257,6 +294,7 @@ def run_prep_window(w320: np.ndarray, w32: np.ndarray):
     n = w320.shape[0]
     fn = _compiled_prep_packed(n)
     vec = np.asarray(fn(jnp.asarray(_pack_prep_window(w320, w32))))
+    mark_device_warm()
     return _unpack_prep_out(vec, n)
 
 
@@ -271,7 +309,9 @@ def run_window(window_gray_u8: np.ndarray):
         return b.submit(window_gray_u8).result()
     n, h, w = window_gray_u8.shape
     fn = _compiled_chunk(n, h, w)
-    return tuple(np.asarray(x) for x in fn(jnp.asarray(window_gray_u8)))
+    out = tuple(np.asarray(x) for x in fn(jnp.asarray(window_gray_u8)))
+    mark_device_warm()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +747,7 @@ def compute_features_streaming(chunk_iter) -> Dict:
             i += len(group)
         pend = [(_unpack_prep_out(vec, target), valid, is_first, target)
                 for vec, (_, valid, is_first, target) in zip(fetched, pend)]
+        mark_device_warm()
 
     sinks = ([], [], [], [])
     start = 0
@@ -723,6 +764,7 @@ def compute_features_streaming(chunk_iter) -> Dict:
         start += valid
     if host_mode:
         sinks = (np.concatenate(tex_parts).tolist(),) + tuple(sinks[1:])
+    mark_device_warm()
     return _assemble(feats, *sinks)
 
 

@@ -96,6 +96,24 @@ def _run_safe(fn, path: str, meta: dict, neutral, err_key: str,
         return neutral(meta, e), hints_extra
 
 
+def _analyzer_timeout(cfg) -> float:
+    """Per-analyzer timeout: the reference's 180 s, plus a cold-start
+    grace while no device feature program has executed in this process —
+    first execution pays the remote program load (minutes when the
+    remote compile cache is cold, measured 224 s for the 49-frame
+    bucket), and timing out mid-load would silently return the neutral
+    fallback.  Serving warmup flips the warm flag at boot, so live
+    requests keep the exact reference behavior."""
+    base = float(cfg.request_timeout_s)
+    try:
+        from avd_tpu.ops import video_features
+        if not video_features.device_warmed():
+            return base + float(cfg.cold_grace_s)
+    except Exception:
+        pass
+    return base
+
+
 def analyze_path(path: str, source_url: Optional[str] = None,
                  resolved_url: Optional[str] = None) -> Dict[str, Any]:
     """Full analysis of a media file → response dict (api.py:142-170)."""
@@ -110,12 +128,13 @@ def analyze_path(path: str, source_url: Optional[str] = None,
         hints = hx.compute_hints(meta, path)
 
     with timer.stage("analyzers"):
+        timeout_s = _analyzer_timeout(cfg)
         audio_t = _DaemonTask(
             _run_safe, audio_an.analyze, path, meta, _neutral_audio,
-            "audio_error", "audio_traceback", cfg.request_timeout_s)
+            "audio_error", "audio_traceback", timeout_s)
         video_t = _DaemonTask(
             _run_safe, video_an.analyze, path, meta, _neutral_video,
-            "video_error", "video_traceback", cfg.request_timeout_s)
+            "video_error", "video_traceback", timeout_s)
         audio, a_hint = audio_t.result()
         video, v_hint = video_t.result()
     hints.update(a_hint)

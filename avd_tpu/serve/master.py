@@ -50,24 +50,20 @@ def _warmup() -> None:
             # every quarter-chunk window bucket: a cold Mosaic compile of
             # one bucket's Pallas kernels takes ~10 min — a mid-request
             # first encounter would blow REQUEST_TIMEOUT_S and produce a
-            # neutral result, so tails must be warmed too
-            full = vf._DEFAULT_CHUNK + 1
-            packed_full = None
-            for n in vf._window_buckets(vf._DEFAULT_CHUNK):
-                zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE),
+            # neutral result, so tails must be warmed too.  Also flips
+            # the warm flag so live requests keep the exact 180 s.
+            vf.warm_device()
+            if get_config().batch_window_ms > 0:
+                # also warm the cross-request stacked buckets (packed)
+                full = vf._DEFAULT_CHUNK + 1
+                zero320 = np.zeros((full, vf._FLOW_SIZE, vf._FLOW_SIZE),
                                    np.uint8)
-                zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE),
+                zero32 = np.zeros((full, vf._HASH_SIZE, vf._HASH_SIZE),
                                   np.uint8)
                 packed = vf._pack_prep_window(zero320, zero32)
-                np.asarray(vf._compiled_prep_packed(n)(jnp.asarray(packed)))
-                if n == full:
-                    packed_full = packed
-            if get_config().batch_window_ms > 0 and packed_full is not None:
-                # also warm the cross-request stacked buckets (packed)
                 for m in (1, 2, 4):
                     fm = vf._compiled_prep_stacked_packed(m, full)
-                    sp = np.broadcast_to(packed_full,
-                                         (m,) + packed_full.shape)
+                    sp = np.broadcast_to(packed, (m,) + packed.shape)
                     np.asarray(fm(jnp.asarray(sp)))
         print(f"[worker {os.getpid()}] warmup complete", flush=True)
     except Exception as e:  # warmup must never kill a worker

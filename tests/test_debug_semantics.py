@@ -97,3 +97,30 @@ def test_global_handler_prod_hides_details():
     assert resp.status == 500
     body = json.loads(resp.body)
     assert body == {"ok": False, "detail": {"error": "Internal server error"}}
+
+
+def test_cold_start_grace_extends_analyzer_timeout(monkeypatch):
+    """Until a device feature program has executed in this process, the
+    analyzer timeout carries the cold-start grace (remote program load
+    takes minutes cold); after warmup it is exactly the reference 180 s."""
+    from avd_tpu import config, pipeline
+    from avd_tpu.ops import video_features
+
+    cfg = config.get_config()
+    monkeypatch.setattr(video_features, "_DEVICE_WARM", False)
+    assert pipeline._analyzer_timeout(cfg) == \
+        cfg.request_timeout_s + cfg.cold_grace_s
+    monkeypatch.setattr(video_features, "_DEVICE_WARM", True)
+    assert pipeline._analyzer_timeout(cfg) == cfg.request_timeout_s
+
+
+def test_compute_features_marks_device_warm(monkeypatch):
+    import numpy as np
+
+    from avd_tpu.ops import video_features
+
+    monkeypatch.setattr(video_features, "_DEVICE_WARM", False)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (5, 64, 64, 3)).astype(np.uint8)
+    video_features.compute_features(frames)
+    assert video_features.device_warmed()
