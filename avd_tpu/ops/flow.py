@@ -323,6 +323,19 @@ def _pallas_solve_enabled() -> bool:
         return False
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_iter_enabled() -> bool:
+    """Whole-iteration fusion (warp+update+blur+solve in ONE Pallas
+    kernel, ops/pallas/flow_iter.py).  OFF by default: the fused kernel
+    must recompute warp+update on an 8-row halo per block (the 15-tap
+    vertical blur needs it), and the ~1.4× extra warp work outweighs the
+    saved M round trip + glue in every measured regime (42.5 vs
+    38.2 ms/48-pair run on panning frames, 178 vs 137 on noise —
+    round-2 traces).  AVD_PALLAS_ITER=1 opts in."""
+    import os
+    return os.getenv("AVD_PALLAS_ITER", "0") == "1"
+
+
 def _blur_solve(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
     """flow = solve(box_blur(M)) on [B,5,H,W] — fused Pallas kernel on
     every pyramid level (the XLA conv blur carries heavy fixed costs at
@@ -413,13 +426,24 @@ def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
         # (iterations-1) refinement rounds.  The refinement body is a
         # fori_loop so XLA compiles it once, not `iterations` times —
         # compile time of the full program drops several-fold.
-        M = _update_matrices(R0, R1, flow)
-        flow = _blur_solve(M, winsize)
+        if (_pallas_iter_enabled() and winsize % 2 == 1 and winsize <= 17
+                and lh >= 40 and lh % 40 == 0 and lw >= 40):
+            from avd_tpu.ops.pallas import flow_iter
+            # pads hoisted OUT of the refine fori_loop (loop-invariant,
+            # but XLA won't hoist them from the while body itself)
+            r0p, r1p = flow_iter.prepare_fields(R0, R1)
+
+            def step(f):
+                return flow_iter.solve_iteration_prepared(
+                    r0p, r1p, f, width=lw, winsize=winsize)
+        else:
+            def step(f):
+                return _blur_solve(_update_matrices(R0, R1, f), winsize)
+
+        flow = step(flow)
         if iterations > 1:
-            def refine(_, f):
-                m = _update_matrices(R0, R1, f)
-                return _blur_solve(m, winsize)
-            flow = jax.lax.fori_loop(0, iterations - 1, refine, flow)
+            flow = jax.lax.fori_loop(0, iterations - 1,
+                                     lambda _, f: step(f), flow)
     # external contract stays [B, H, W, 2] (one transpose at the end)
     return jnp.transpose(flow, (0, 2, 3, 1))
 
