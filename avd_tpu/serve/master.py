@@ -10,6 +10,17 @@ Reproduced semantics:
 * dead workers are respawned (Gunicorn master behavior);
 * access/error logs to stdout (gunicorn_conf.py:16-17).
 
+Improvement over Gunicorn's recycle: ZERO-DOWNTIME recycling.  Gunicorn
+retires a worker at its request budget and only then boots the
+replacement — with one worker (the reference's default) the service is
+down for the whole replacement boot, which here includes the device
+program warmup (minutes on a cold remote compile cache).  Instead a
+worker reaching its budget keeps serving and asks the master for a
+replacement (queued realtime signal SIGRTMIN+1 so concurrent requests
+don't coalesce); the master boots the replacement, and only when it
+reports ready (SIGRTMIN+2, sent after bind + warmup) does the old worker
+get SIGTERM and drain.
+
 Workers share the listening port via SO_REUSEPORT — the kernel load
 balances accepts, no fd passing needed.  Each worker owns its own TPU
 client; the XLA persistent compile cache (utils.jaxtools) makes respawned
@@ -27,6 +38,9 @@ import sys
 import time
 
 from avd_tpu.config import get_config
+
+_SIG_RECYCLE = signal.SIGRTMIN + 1   # worker → master: budget reached
+_SIG_READY = signal.SIGRTMIN + 2     # worker → master: bound + warm
 
 
 def _warmup() -> None:
@@ -71,7 +85,14 @@ def _warmup() -> None:
 
 
 def _worker_main(max_requests: int) -> None:
-    """Child process: serve until the request budget is exhausted."""
+    """Child process: serve; at the request budget, ask the master for a
+    zero-downtime replacement and keep serving until told to retire."""
+    # the master blocks its control signals; undo the inherited mask
+    signal.pthread_sigmask(
+        signal.SIG_UNBLOCK,
+        {signal.SIGTERM, signal.SIGINT, signal.SIGCHLD,
+         _SIG_RECYCLE, _SIG_READY})
+
     from avd_tpu.serve import app as app_mod
     from avd_tpu.serve import http as http_mod
 
@@ -82,16 +103,24 @@ def _worker_main(max_requests: int) -> None:
     server = http_mod.make_server(application, host or "0.0.0.0", int(port),
                                   reuse_port=True)
     served = 0
+    recycle_asked = False
     orig_dispatch = application.dispatch
 
     def counting_dispatch(req):
-        nonlocal served
+        nonlocal served, recycle_asked
         served += 1
         resp = orig_dispatch(req)
-        if max_requests and served >= max_requests:
-            # recycle: stop accepting, master will respawn
-            import threading
-            threading.Thread(target=server.shutdown, daemon=True).start()
+        if max_requests and served >= max_requests and not recycle_asked:
+            recycle_asked = True
+            master = os.getppid()
+            if master > 1:
+                # keep serving; the master SIGTERMs us once the
+                # replacement is bound and warm
+                os.kill(master, _SIG_RECYCLE)
+            else:  # master gone (orphaned): old-style self-recycle
+                import threading
+                threading.Thread(target=server.shutdown,
+                                 daemon=True).start()
         return resp
 
     application.dispatch = counting_dispatch
@@ -103,7 +132,14 @@ def _worker_main(max_requests: int) -> None:
     signal.signal(signal.SIGTERM, term)
     print(f"[worker {os.getpid()}] serving on {cfg.bind} "
           f"(max_requests={max_requests})", flush=True)
-    server.serve_forever()
+    master = os.getppid()
+    if master > 1:
+        os.kill(master, _SIG_READY)
+    # tight poll: between the shutdown request and the socket close, SYNs
+    # the kernel hashed to THIS reuseport socket would be reset — keep
+    # the blackhole window at most one poll
+    server.serve_forever(poll_interval=0.02)
+    server.server_close()  # joins in-flight handler threads (drain)
     print(f"[worker {os.getpid()}] exiting after {served} requests",
           flush=True)
     sys.exit(0)
@@ -113,6 +149,10 @@ class Master:
     def __init__(self) -> None:
         self.cfg = get_config()
         self.workers: dict[int, float] = {}
+        # zero-downtime recycling state: replacement pid → worker it will
+        # retire once ready; workers awaiting retirement
+        self.retire_for: dict[int, int] = {}
+        self.retiring: set[int] = set()
         self.running = True
 
     def _budget(self) -> int:
@@ -121,7 +161,7 @@ class Master:
             return 0
         return base + random.randint(0, max(0, self.cfg.max_requests_jitter))
 
-    def spawn(self) -> None:
+    def spawn(self) -> int:
         budget = self._budget()
         pid = os.fork()
         if pid == 0:
@@ -131,30 +171,74 @@ class Master:
                 os._exit(0)
         self.workers[pid] = time.time()
         print(f"[master] spawned worker {pid}", flush=True)
+        return pid
+
+    def _reap(self) -> None:
+        while True:
+            try:
+                pid, _status = os.waitpid(-1, os.WNOHANG)
+            except ChildProcessError:
+                return
+            if not pid:
+                return
+            self.workers.pop(pid, None)
+            if not self.running:
+                continue
+            if pid in self.retire_for:
+                # a replacement died before becoming ready: boot another
+                # for the same still-serving worker
+                old = self.retire_for.pop(pid)
+                if old in self.workers:
+                    self.retire_for[self.spawn()] = old
+                else:
+                    self.retiring.discard(old)
+                    self.spawn()
+            elif pid in self.retiring:
+                # planned retirement — its replacement is already serving
+                self.retiring.discard(pid)
+                print(f"[master] worker {pid} retired (zero-downtime "
+                      "recycle)", flush=True)
+            else:
+                self.spawn()  # crash → respawn (Gunicorn behavior)
+
+    def _on_recycle_request(self, pid: int) -> None:
+        if (pid in self.workers and pid not in self.retiring
+                and pid not in self.retire_for.values()):
+            self.retiring.add(pid)
+            self.retire_for[self.spawn()] = pid
+
+    def _on_ready(self, pid: int) -> None:
+        old = self.retire_for.pop(pid, None)
+        if old is not None and old in self.workers:
+            try:
+                os.kill(old, signal.SIGTERM)  # drain + exit
+            except ProcessLookupError:
+                pass
 
     def run(self) -> int:
         cfg = self.cfg
-
-        def stop(_sig, _frm):
-            self.running = False
-
-        signal.signal(signal.SIGTERM, stop)
-        signal.signal(signal.SIGINT, stop)
+        sigs = {signal.SIGTERM, signal.SIGINT, signal.SIGCHLD,
+                _SIG_RECYCLE, _SIG_READY}
+        # realtime signals queue per-sender (no coalescing) and
+        # sigtimedwait exposes si_pid — that's the whole control plane
+        signal.pthread_sigmask(signal.SIG_BLOCK, sigs)
 
         for _ in range(max(1, cfg.workers)):
             self.spawn()
 
         while self.running:
-            try:
-                pid, _status = os.waitpid(-1, os.WNOHANG)
-            except ChildProcessError:
-                pid = 0
-            if pid:
-                self.workers.pop(pid, None)
-                if self.running:
-                    self.spawn()  # respawn recycled/dead worker
-            else:
-                time.sleep(0.5)
+            info = signal.sigtimedwait(sigs, 0.5)
+            if info is None:
+                self._reap()  # belt and braces
+                continue
+            if info.si_signo in (signal.SIGTERM, signal.SIGINT):
+                self.running = False
+            elif info.si_signo == signal.SIGCHLD:
+                self._reap()
+            elif info.si_signo == _SIG_RECYCLE:
+                self._on_recycle_request(info.si_pid)
+            elif info.si_signo == _SIG_READY:
+                self._on_ready(info.si_pid)
 
         # graceful drain (gunicorn_conf.py:10)
         deadline = time.time() + cfg.graceful_timeout_s

@@ -80,3 +80,67 @@ def test_master_graceful_shutdown(master_proc):
     proc.send_signal(signal.SIGTERM)
     proc.wait(timeout=15)
     assert proc.returncode == 0
+
+
+def test_zero_downtime_recycle():
+    """ONE worker with a tiny budget: the replacement must be bound and
+    warm BEFORE the old worker retires, so a continuous probe sees no
+    connection failures at all (Gunicorn's recycle would gap here)."""
+    port = 18473
+    env = dict(os.environ)
+    env.update({
+        "GUNICORN_BIND": f"127.0.0.1:{port}",
+        "WEB_CONCURRENCY": "1",
+        "GUNICORN_MAX_REQUESTS": "3",
+        "GUNICORN_MAX_REQUESTS_JITTER": "0",
+        "GUNICORN_GRACEFUL_TIMEOUT": "5",
+        "AVD_BACKEND": "oracle",
+        "JAX_PLATFORMS": "cpu",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "avd_tpu.serve.master"],
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                status, _ = _get(port, "/healthz", timeout=1)
+                if status == 200:
+                    break
+            except OSError:
+                time.sleep(0.3)
+        else:
+            pytest.fail("master did not become ready")
+        # a SYN hashed to the retiring socket during its final close can
+        # be reset by the kernel (SO_REUSEPORT has no graceful leave);
+        # one immediate retry — standard client behavior — must always
+        # succeed because the replacement is already in the accept group
+        hard_failures = 0
+        retried = 0
+        ok = 0
+        for _ in range(30):  # 10 recycle cycles at budget 3
+            try:
+                status, d = _get(port, "/healthz", timeout=5)
+            except OSError:
+                retried += 1
+                try:
+                    status, d = _get(port, "/healthz", timeout=5)
+                except OSError:
+                    hard_failures += 1
+                    continue
+            if status == 200 and d["ok"]:
+                ok += 1
+            time.sleep(0.05)
+        assert hard_failures == 0, \
+            f"{hard_failures} hard failures during recycling"
+        assert ok == 30
+        assert retried <= 3, f"{retried} resets — blackhole too wide"
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    out = proc.stdout.read()
+    assert "zero-downtime recycle" in out, out
