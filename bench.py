@@ -34,8 +34,18 @@ DECODE_CHUNK = 29  # frames per simulated decode chunk (streaming mode)
 
 
 def make_frames(n: int) -> np.ndarray:
-    """Deterministic textured 1080p frames with real motion."""
+    """Deterministic textured frames with real motion.
+
+    AVD_BENCH_CONTENT=noise switches to per-frame uncorrelated noise —
+    the flow solver's worst case (chaotic flow maximizes the warp
+    kernel's displacement boxes; device stage measured ~3.6× slower than
+    on panning content, docs/PERFORMANCE.md round 2b) — for honest
+    content-dependence measurement.
+    """
     rng = np.random.default_rng(0)
+    if os.getenv("AVD_BENCH_CONTENT", "pan") == "noise":
+        return rng.integers(0, 256, (n, H, W, 3), dtype=np.int16) \
+                  .astype(np.uint8)
     base = rng.integers(0, 256, (H + 64, W + 64, 3),
                         dtype=np.int16).astype(np.uint8)
     try:
