@@ -55,6 +55,21 @@ class ViTConfig:
         return self.width * self.mlp_ratio
 
 
+Config = ViTConfig  # uniform family API (models/__init__.py::family)
+
+PRESETS = {
+    # matches models/train.py defaults — train small, serve small
+    "small": dict(image_size=64, patch=16, width=256, depth=4, heads=4),
+    "full": {},  # the dataclass defaults: 224px, width 384, depth 6
+}
+
+
+def make_config(preset: str = "full", **over) -> "ViTConfig":
+    kw = dict(PRESETS.get(preset, {}))
+    kw.update(over)
+    return ViTConfig(**kw)
+
+
 # Partition specs per parameter path — the declarative TP plan.
 # 'model' shards attention heads / mlp hidden; everything else replicates.
 def param_specs(cfg: ViTConfig) -> Dict[str, Any]:

@@ -33,21 +33,23 @@ def blend_factor() -> float:
         return 0.0
 
 
-_PRESETS = {
-    # matches models/train.py defaults — train small, serve small
-    "small": dict(image_size=64, patch=16, width=256, depth=4, heads=4),
-    "full": dict(),  # ViTConfig defaults (224px, width 384, depth 6)
-}
-
 # trained-on-synthetic-curriculum checkpoint shipped with the repo
-# (models/train.py; eval numbers in BASELINE.md)
+# (models/train.py; eval numbers in BASELINE.md) — ViT family only
 _DEFAULT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "weights", "detector_small")
 
 
-def _default_preset() -> str:
+def _arch() -> str:
+    """Model family: 'vit' (default) or 'cnn' (models/__init__.py)."""
+    return os.getenv("AVD_DETECTOR_ARCH", "vit")
+
+
+def _default_preset(arch: str) -> str:
     """'small' when the shipped trained checkpoint exists (a real model
-    beats a random-init big one), else the 'full' architecture slot."""
+    beats a random-init big one), else the 'full' architecture slot; the
+    CNN family ships no checkpoint and defaults small."""
+    if arch == "cnn":
+        return "small"
     return "small" if os.path.isdir(_DEFAULT_CKPT) else "full"
 
 
@@ -56,15 +58,18 @@ def _bundle():
     import jax
     import jax.numpy as jnp
 
-    from avd_tpu.models import detector
+    from avd_tpu import models
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
-    preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset())
-    cfg = detector.ViTConfig(**_PRESETS.get(preset, {}))
+    arch = _arch()
+    detector = models.family(arch)
+    preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset(arch))
+    cfg = detector.make_config(preset)
     params = detector.init_params(jax.random.PRNGKey(0), cfg)
     ckpt = os.getenv("AVD_DETECTOR_CKPT")
-    if not ckpt and preset == "small" and os.path.isdir(_DEFAULT_CKPT):
+    if (not ckpt and arch == "vit" and preset == "small"
+            and os.path.isdir(_DEFAULT_CKPT)):
         ckpt = _DEFAULT_CKPT
     source = "random_init"
     if ckpt:

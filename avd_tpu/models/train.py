@@ -80,17 +80,19 @@ def synthetic_batch(rng: np.random.Generator, batch: int, size: int):
     return frames, labels
 
 
-def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999):
+def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999,
+             fam=None):
     """Held-out synthetic eval → (accuracy, auc)."""
     import jax
     import jax.numpy as jnp
 
-    from avd_tpu.models import detector
+    from avd_tpu import models
+    fam = fam or models.family("vit")
 
     @jax.jit
     def probs(p, fb):
         return jax.nn.sigmoid(
-            detector.forward(p, fb, cfg)[:, 0].astype(jnp.float32))
+            fam.forward(p, fb, cfg)[:, 0].astype(jnp.float32))
 
     rng = np.random.default_rng(seed)
     ps, ys = [], []
@@ -139,17 +141,21 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           out: str | None = None, data: str | None = None,
           image_size: int = 64, width: int = 256, depth: int = 4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
-          cache_samples: int = 8192):
+          cache_samples: int = 8192, arch: str = "vit"):
     import jax
     import jax.numpy as jnp
 
-    from avd_tpu.models import detector
+    from avd_tpu import models
     from avd_tpu.parallel import mesh as mesh_mod
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
-    cfg = detector.ViTConfig(image_size=image_size, patch=16, width=width,
-                             depth=depth, heads=heads)
+    detector = models.family(arch)
+    if arch == "cnn":
+        cfg = detector.make_config("small", image_size=image_size)
+    else:
+        cfg = detector.make_config("full", image_size=image_size, patch=16,
+                                   width=width, depth=depth, heads=heads)
     params = detector.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = detector.make_optimizer(lr)
 
@@ -204,7 +210,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 print(f"step {step:5d}  loss {losses[-1]:.4f}  "
                       f"{rate:.1f} frames/s", flush=True)
 
-    acc, auc = evaluate(params, cfg)
+    acc, auc = evaluate(params, cfg, fam=detector)
     print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
           flush=True)
     if out:
@@ -233,11 +239,13 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--arch", default="vit", choices=("vit", "cnn"),
+                    help="model family (models/__init__.py)")
     args = ap.parse_args()
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
-                      depth=args.depth, heads=args.heads)
+                      depth=args.depth, heads=args.heads, arch=args.arch)
     print(f"final loss {losses[-1]:.4f}")
     return 0
 
