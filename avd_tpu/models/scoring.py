@@ -33,10 +33,12 @@ def blend_factor() -> float:
         return 0.0
 
 
-# trained-on-synthetic-curriculum checkpoint shipped with the repo
-# (models/train.py; eval numbers in BASELINE.md) — ViT family only
-_DEFAULT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "weights", "detector_small")
+# trained-on-synthetic-curriculum checkpoints shipped with the repo
+# (models/train.py; eval numbers in BASELINE.md), one per family
+_WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights")
+_DEFAULT_CKPT = os.path.join(_WEIGHTS_DIR, "detector_small")
+_DEFAULT_CNN_CKPT = os.path.join(_WEIGHTS_DIR, "cnn_small")
 
 
 def _arch() -> str:
@@ -46,11 +48,17 @@ def _arch() -> str:
 
 def _default_preset(arch: str) -> str:
     """'small' when the shipped trained checkpoint exists (a real model
-    beats a random-init big one), else the 'full' architecture slot; the
-    CNN family ships no checkpoint and defaults small."""
+    beats a random-init big one), else the 'full' architecture slot."""
     if arch == "cnn":
         return "small"
     return "small" if os.path.isdir(_DEFAULT_CKPT) else "full"
+
+
+def _shipped_ckpt(arch: str, preset: str):
+    if preset != "small":
+        return None
+    path = _DEFAULT_CNN_CKPT if arch == "cnn" else _DEFAULT_CKPT
+    return path if os.path.isdir(path) else None
 
 
 @functools.lru_cache(maxsize=1)
@@ -67,10 +75,7 @@ def _bundle():
     preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset(arch))
     cfg = detector.make_config(preset)
     params = detector.init_params(jax.random.PRNGKey(0), cfg)
-    ckpt = os.getenv("AVD_DETECTOR_CKPT")
-    if (not ckpt and arch == "vit" and preset == "small"
-            and os.path.isdir(_DEFAULT_CKPT)):
-        ckpt = _DEFAULT_CKPT
+    ckpt = os.getenv("AVD_DETECTOR_CKPT") or _shipped_ckpt(arch, preset)
     source = "random_init"
     if ckpt:
         params = detector.load_checkpoint(ckpt, params)

@@ -125,7 +125,10 @@ def test_family_registry():
 
 def test_scoring_uses_cnn_arch(monkeypatch):
     """AVD_DETECTOR_ARCH=cnn routes the analyzer detector slot through
-    the CNN family (random init — wiring test, labeled as such)."""
+    the CNN family, loading the shipped cnn_small checkpoint when it
+    exists (random init otherwise, labeled as such)."""
+    import os
+
     from avd_tpu.models import scoring
 
     monkeypatch.setenv("AVD_DETECTOR", "1")
@@ -140,7 +143,10 @@ def test_scoring_uses_cnn_arch(monkeypatch):
         assert out is not None
         assert len(out["timeline"]) == 3
         assert all(0.0 <= p <= 1.0 for p in out["timeline"])
-        assert out["weights"] == "random_init"
+        if os.path.isdir(scoring._DEFAULT_CNN_CKPT):
+            assert out["weights"].endswith("cnn_small")
+        else:
+            assert out["weights"] == "random_init"
     finally:
         scoring._bundle.cache_clear()
 
