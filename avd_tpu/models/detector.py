@@ -152,6 +152,60 @@ def patchify(frames: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, (h // patch) * (w // patch), patch * patch * c)
 
 
+def embed(params: Dict[str, Any], frames: jnp.ndarray,
+          cfg: ViTConfig) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, T, width] bf16 token stream (patchify + cls +
+    positional)."""
+    x = patchify(frames.astype(jnp.bfloat16), cfg.patch)
+    x = x @ params["patch_w"].astype(jnp.bfloat16) + \
+        params["patch_b"].astype(jnp.bfloat16)
+    cls = jnp.broadcast_to(params["cls_tok"].astype(jnp.bfloat16),
+                           (x.shape[0], 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + params["pos_emb"].astype(jnp.bfloat16)[None]
+
+
+def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
+                  ap=lambda x, s: x) -> jnp.ndarray:
+    """One transformer block on the bf16 residual stream ``x``
+    ([B, T, width]); ``ap`` injects GSPMD activation constraints."""
+    # --- attention ---
+    h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
+            lp["ln1_bias"]).astype(jnp.bfloat16)
+    qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
+        lp["qkv_b"].astype(jnp.bfloat16)
+    qkv = ap(qkv, P("data", None, "model"))
+    b, t, _ = qkv.shape
+    qkv = qkv.reshape(b, t, 3, cfg.heads, cfg.head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    att = jnp.einsum("bthd,bshd->bhts", q, k,
+                     preferred_element_type=jnp.float32)
+    att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
+    o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
+        lp["proj_b"].astype(jnp.bfloat16)
+    x = x + ap(o, P("data", None, None))
+
+    # --- mlp ---
+    h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
+            lp["ln2_bias"]).astype(jnp.bfloat16)
+    h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
+        lp["mlp_in_b"].astype(jnp.bfloat16)
+    h = ap(h, P("data", None, "model"))
+    h = jax.nn.gelu(h)
+    h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
+        lp["mlp_out_b"].astype(jnp.bfloat16)
+    return x + ap(h, P("data", None, None))
+
+
+def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """Final LN on the cls token → f32 logits."""
+    x = _ln(x.astype(jnp.float32), params["ln_f_scale"], params["ln_f_bias"])
+    return x[:, 0] @ params["head_w"] + params["head_b"]
+
+
 def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
             sharded: bool = False) -> jnp.ndarray:
     """ViT forward: [B, H, W, 3] float in [0,1] → [B, n_classes] f32 logits.
@@ -160,49 +214,54 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
     hidden) for the multi-chip path.
     """
     ap = functools.partial(_constrain) if sharded else (lambda x, s: x)
-    x = patchify(frames.astype(jnp.bfloat16), cfg.patch)
+    x = embed(params, frames, cfg)
     x = ap(x, P("data", None, None))
-    x = x @ params["patch_w"].astype(jnp.bfloat16) + \
-        params["patch_b"].astype(jnp.bfloat16)
-    cls = jnp.broadcast_to(params["cls_tok"].astype(jnp.bfloat16),
-                           (x.shape[0], 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_emb"].astype(jnp.bfloat16)[None]
-
     for lp in params["layers"]:
-        # --- attention ---
-        h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
-                lp["ln1_bias"]).astype(jnp.bfloat16)
-        qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
-            lp["qkv_b"].astype(jnp.bfloat16)
-        qkv = ap(qkv, P("data", None, "model"))
-        b, t, _ = qkv.shape
-        qkv = qkv.reshape(b, t, 3, cfg.heads, cfg.head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        att = jnp.einsum("bthd,bshd->bhts", q, k,
-                         preferred_element_type=jnp.float32)
-        att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
-        o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
-                       preferred_element_type=jnp.float32)
-        o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
-        o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
-            lp["proj_b"].astype(jnp.bfloat16)
-        x = x + ap(o, P("data", None, None))
+        x = block_forward(x, lp, cfg, ap)
+    return head(params, x)
 
-        # --- mlp ---
-        h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
-                lp["ln2_bias"]).astype(jnp.bfloat16)
-        h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
-            lp["mlp_in_b"].astype(jnp.bfloat16)
-        h = ap(h, P("data", None, "model"))
-        h = jax.nn.gelu(h)
-        h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
-            lp["mlp_out_b"].astype(jnp.bfloat16)
-        x = x + ap(h, P("data", None, None))
 
-    x = _ln(x.astype(jnp.float32), params["ln_f_scale"], params["ln_f_bias"])
-    cls_out = x[:, 0]
-    return cls_out @ params["head_w"] + params["head_b"]
+def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
+                      cfg: ViTConfig, mesh, n_micro: int = 0) -> jnp.ndarray:
+    """Pipeline-parallel ViT forward over the mesh's ``stage`` axis
+    (optionally × ``data``): the layer stack is sharded per stage and
+    microbatches stream through a GPipe ppermute ring
+    (parallel/pipeline.py).  Numerically equivalent to ``forward``
+    (same blocks, same bf16 stream); embed/head run replicated outside
+    the pipeline.
+
+    ``n_micro`` defaults to the stage count (caller raises it to shrink
+    the (S-1)/(n_micro+S-1) bubble); the batch must divide by it, and
+    each microbatch by the mesh's ``data`` axis when present.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from avd_tpu.parallel import pipeline as pl
+
+    n_stages = mesh.shape["stage"]
+    if cfg.depth % n_stages:
+        raise ValueError(f"depth {cfg.depth} not divisible by "
+                         f"{n_stages} stages")
+    n_micro = n_micro or n_stages
+    B = frames.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch {B} not divisible by {n_micro} microbatches")
+
+    x = embed(params, frames, cfg)
+    xs = x.reshape(n_micro, B // n_micro, cfg.tokens, cfg.width)
+    stacked = pl.stack_layers(params["layers"])
+
+    def stage_fn(sp, xm):
+        return pl.scan_layers(
+            lambda h, lp: block_forward(h, lp, cfg), sp, xm)
+
+    xspec = P(None, "data") if "data" in mesh.axis_names else P(None)
+    run = shard_map(
+        lambda sp, x: pl.gpipe(stage_fn, sp, x, n_stages),
+        mesh=mesh, in_specs=(P("stage"), xspec), out_specs=xspec,
+        check_rep=False)
+    ys = run(stacked, xs)
+    return head(params, ys.reshape(B, cfg.tokens, cfg.width))
 
 
 def loss_fn(params, frames, labels, cfg: ViTConfig,
