@@ -166,9 +166,20 @@ def embed(params: Dict[str, Any], frames: jnp.ndarray,
 
 
 def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
-                  ap=lambda x, s: x) -> jnp.ndarray:
+                  ap=lambda x, s: x,
+                  res_spec: P = P("data", None, None)) -> jnp.ndarray:
     """One transformer block on the bf16 residual stream ``x``
-    ([B, T, width]); ``ap`` injects GSPMD activation constraints."""
+    ([B, T, width]); ``ap`` injects GSPMD activation constraints.
+
+    ``res_spec`` is the residual stream's layout between the TP regions:
+    the default replicates tokens (classic Megatron TP, all-reduce on
+    exit); ``P("data", "model", None)`` gives Megatron-style sequence
+    parallelism — the LN/residual work shards over tokens and GSPMD
+    lowers the exits to reduce-scatter + the entries to all-gather,
+    cutting both the replicated-activation memory and the collective
+    volume (rs+ag moves the same bytes as one all-reduce but each half
+    overlaps with its adjacent matmul).
+    """
     # --- attention ---
     h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
             lp["ln1_bias"]).astype(jnp.bfloat16)
@@ -186,7 +197,7 @@ def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
     o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
         lp["proj_b"].astype(jnp.bfloat16)
-    x = x + ap(o, P("data", None, None))
+    x = x + ap(o, res_spec)
 
     # --- mlp ---
     h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
@@ -197,7 +208,7 @@ def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     h = jax.nn.gelu(h)
     h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
         lp["mlp_out_b"].astype(jnp.bfloat16)
-    return x + ap(h, P("data", None, None))
+    return x + ap(h, res_spec)
 
 
 def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -207,17 +218,21 @@ def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
-            sharded: bool = False) -> jnp.ndarray:
+            sharded: bool = False, seq_sharded: bool = False) -> jnp.ndarray:
     """ViT forward: [B, H, W, 3] float in [0,1] → [B, n_classes] f32 logits.
 
     ``sharded`` adds GSPMD activation constraints (dp over batch, tp over
-    hidden) for the multi-chip path.
+    hidden) for the multi-chip path; ``seq_sharded`` additionally shards
+    the residual stream's token axis over 'model' between the TP regions
+    (Megatron sequence parallelism — see block_forward's ``res_spec``).
     """
     ap = functools.partial(_constrain) if sharded else (lambda x, s: x)
+    res_spec = (P("data", "model", None) if seq_sharded
+                else P("data", None, None))
     x = embed(params, frames, cfg)
-    x = ap(x, P("data", None, None))
+    x = ap(x, res_spec)
     for lp in params["layers"]:
-        x = block_forward(x, lp, cfg, ap)
+        x = block_forward(x, lp, cfg, ap, res_spec)
     return head(params, x)
 
 

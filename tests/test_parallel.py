@@ -85,6 +85,37 @@ def test_sharded_forward_matches_single_device():
     np.testing.assert_allclose(single, np.asarray(out), atol=2e-2)
 
 
+def test_seq_parallel_forward_matches_single_device():
+    """TP + Megatron sequence parallelism (residual token axis sharded
+    over 'model' between TP regions; GSPMD lowers the region exits to
+    reduce-scatter and entries to all-gather) must stay numerically
+    equal to the unsharded forward — including the non-divisible token
+    count (5 tokens over the model axis → GSPMD padding)."""
+    from avd_tpu.models import detector
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=2,
+                             heads=4)
+    params = detector.init_params(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((4, 32, 32, 3), np.float32))
+
+    single = np.asarray(detector.forward(params, frames, cfg))
+
+    mesh = mesh_mod.make_mesh(8, axes=("data", "model"))
+    sp = detector.param_specs(cfg)
+    sharded_params = mesh_mod.shard_params(mesh, params, sp)
+    fb = jax.device_put(frames, mesh_mod.batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda p, f: detector.forward(
+            p, f, cfg, sharded=True, seq_sharded=True))(sharded_params, fb)
+        # gradients must flow through the rs/ag layout too
+        g = jax.jit(jax.grad(lambda p, f: jnp.mean(detector.forward(
+            p, f, cfg, sharded=True, seq_sharded=True) ** 2)))(
+            sharded_params, fb)
+    np.testing.assert_allclose(single, np.asarray(out), atol=2e-2)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def test_train_step_reduces_loss():
     from avd_tpu.models import detector
     cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=2,
