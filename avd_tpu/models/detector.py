@@ -41,6 +41,11 @@ class ViTConfig:
     mlp_ratio: int = 4
     n_classes: int = 1          # binary: AI-generated?
     dropout: float = 0.0        # inference default
+    # Mixture-of-experts MLP (0 = dense).  Experts shard over the mesh's
+    # 'model' axis (expert parallelism); Switch-style top-1 routing with
+    # per-example token groups and capacity dropping.
+    n_experts: int = 0
+    capacity_factor: float = 1.25
 
     @property
     def tokens(self) -> int:
@@ -49,6 +54,13 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.width // self.heads
+
+    @property
+    def expert_capacity(self) -> int:
+        """Per-example token capacity of one expert (Switch C)."""
+        import math
+        return max(1, math.ceil(self.tokens / self.n_experts
+                                * self.capacity_factor))
 
     @property
     def mlp_width(self) -> int:
@@ -78,9 +90,22 @@ def param_specs(cfg: ViTConfig) -> Dict[str, Any]:
         "qkv_w": P(None, "model"), "qkv_b": P("model"),
         "proj_w": P("model", None), "proj_b": P(),
         "ln2_scale": P(), "ln2_bias": P(),
-        "mlp_in_w": P(None, "model"), "mlp_in_b": P("model"),
-        "mlp_out_w": P("model", None), "mlp_out_b": P(),
     }
+    if cfg.n_experts:
+        # expert parallelism: the leading expert axis shards over 'model'
+        # (router replicates); the combine einsum contracts the sharded
+        # axis, so GSPMD inserts the psum/all-to-alls
+        layer.update({
+            "router_w": P(),
+            "moe_in_w": P("model", None, None), "moe_in_b": P("model", None),
+            "moe_out_w": P("model", None, None),
+            "moe_out_b": P("model", None),
+        })
+    else:
+        layer.update({
+            "mlp_in_w": P(None, "model"), "mlp_in_b": P("model"),
+            "mlp_out_w": P("model", None), "mlp_out_b": P(),
+        })
     return {
         "patch_w": P(), "patch_b": P(),
         "pos_emb": P(), "cls_tok": P(),
@@ -113,19 +138,37 @@ def init_params(key: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
         "head_b": jnp.zeros((cfg.n_classes,), jnp.float32),
     }
     for i in range(cfg.depth):
-        lk = jax.random.split(k[4 + i], 4)
-        params["layers"].append({
+        lk = jax.random.split(k[4 + i], 5)
+        lp = {
             "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
             "qkv_w": dense(lk[0], d, (d, 3 * d)),
             "qkv_b": jnp.zeros((3 * d,)),
             "proj_w": dense(lk[1], d, (d, d)),
             "proj_b": jnp.zeros((d,)),
             "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
-            "mlp_in_w": dense(lk[2], d, (d, cfg.mlp_width)),
-            "mlp_in_b": jnp.zeros((cfg.mlp_width,)),
-            "mlp_out_w": dense(lk[3], cfg.mlp_width, (cfg.mlp_width, d)),
-            "mlp_out_b": jnp.zeros((d,)),
-        })
+        }
+        if cfg.n_experts:
+            e, hd = cfg.n_experts, cfg.mlp_width
+            lp.update({
+                "router_w": dense(lk[4], d, (d, e)),
+                "moe_in_w": (jax.random.normal(lk[2], (e, d, hd),
+                                               jnp.float32)
+                             * (1.0 / np.sqrt(d))),
+                "moe_in_b": jnp.zeros((e, hd,), jnp.float32),
+                "moe_out_w": (jax.random.normal(lk[3], (e, hd, d),
+                                                jnp.float32)
+                              * (1.0 / np.sqrt(hd))),
+                "moe_out_b": jnp.zeros((e, d), jnp.float32),
+            })
+        else:
+            lp.update({
+                "mlp_in_w": dense(lk[2], d, (d, cfg.mlp_width)),
+                "mlp_in_b": jnp.zeros((cfg.mlp_width,)),
+                "mlp_out_w": dense(lk[3], cfg.mlp_width,
+                                   (cfg.mlp_width, d)),
+                "mlp_out_b": jnp.zeros((d,)),
+            })
+        params["layers"].append(lp)
     return params
 
 
@@ -165,11 +208,59 @@ def embed(params: Dict[str, Any], frames: jnp.ndarray,
     return x + params["pos_emb"].astype(jnp.bfloat16)[None]
 
 
-def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
-                  ap=lambda x, s: x,
-                  res_spec: P = P("data", None, None)) -> jnp.ndarray:
+def _moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig, ap):
+    """Switch-style top-1 MoE MLP over per-example token groups.
+
+    ``h``: [B, T, d] bf16 (post-LN).  Returns ([B, T, d] bf16, aux)
+    where ``aux`` is the Switch load-balancing loss (≈1 when balanced).
+    Tokens beyond an expert's capacity are dropped (their MLP delta is
+    zero; the residual connection passes them through) — standard
+    Switch semantics keeping every shape static for XLA.  The expert
+    axis of the weights is sharded over 'model' (param_specs); the
+    dispatch/combine einsums contract it, so GSPMD places the experts'
+    FLOPs on their owners and inserts the collectives.
+    """
+    E, C = cfg.n_experts, cfg.expert_capacity
+    hf = h.astype(jnp.float32)
+    logits = hf @ lp["router_w"]                       # [B, T, E] f32
+    gate = jax.nn.softmax(logits, axis=-1)
+    eidx = jnp.argmax(gate, axis=-1)                   # [B, T]
+    onehot = jax.nn.one_hot(eidx, E, dtype=jnp.float32)
+    gateval = jnp.sum(gate * onehot, axis=-1)          # [B, T]
+    # position of each token within its expert's per-example queue
+    pos = jnp.cumsum(onehot, axis=1) * onehot          # 1-based
+    keep = (pos > 0) & (pos <= C)
+    slot = jnp.clip(pos - 1, 0, C - 1).astype(jnp.int32)
+    slot1h = jax.nn.one_hot(jnp.sum(slot * onehot.astype(jnp.int32),
+                                    axis=-1), C, dtype=jnp.float32)
+    disp = (onehot * keep.astype(jnp.float32))[..., None] * slot1h[:, :, None, :]
+    # disp: [B, T, E, C] 0/1 dispatch tensor; combine adds the gate value
+    comb = disp * gateval[..., None, None]
+
+    xin = jnp.einsum("btec,btd->becd", disp.astype(jnp.bfloat16), h)
+    xin = ap(xin, P("data", "model", None, None))
+    z = jnp.einsum("becd,edh->bech", xin,
+                   lp["moe_in_w"].astype(jnp.bfloat16))
+    z = jax.nn.gelu(z + lp["moe_in_b"].astype(jnp.bfloat16)[None, :, None])
+    z = jnp.einsum("bech,ehd->becd", z,
+                   lp["moe_out_w"].astype(jnp.bfloat16))
+    z = z + lp["moe_out_b"].astype(jnp.bfloat16)[None, :, None]
+    y = jnp.einsum("btec,becd->btd", comb.astype(jnp.bfloat16), z)
+
+    # Switch aux loss: E · Σ_e frac_tokens_e · mean_gate_e
+    frac = jnp.mean(onehot, axis=1)                    # [B, E]
+    mean_gate = jnp.mean(gate, axis=1)                 # [B, E]
+    aux = E * jnp.mean(jnp.sum(frac * mean_gate, axis=-1))
+    return y, aux
+
+
+def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
+                      ap=lambda x, s: x,
+                      res_spec: P = P("data", None, None)):
     """One transformer block on the bf16 residual stream ``x``
-    ([B, T, width]); ``ap`` injects GSPMD activation constraints.
+    ([B, T, width]) → ``(x', aux)`` where ``aux`` is the MoE
+    load-balancing loss (0.0 for dense layers); ``ap`` injects GSPMD
+    activation constraints.
 
     ``res_spec`` is the residual stream's layout between the TP regions:
     the default replicates tokens (classic Megatron TP, all-reduce on
@@ -199,16 +290,26 @@ def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
         lp["proj_b"].astype(jnp.bfloat16)
     x = x + ap(o, res_spec)
 
-    # --- mlp ---
+    # --- mlp (dense or mixture-of-experts) ---
     h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
             lp["ln2_bias"]).astype(jnp.bfloat16)
+    if "router_w" in lp:
+        y, aux = _moe_mlp(h, lp, cfg, ap)
+        return x + ap(y, res_spec), aux
     h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
         lp["mlp_in_b"].astype(jnp.bfloat16)
     h = ap(h, P("data", None, "model"))
     h = jax.nn.gelu(h)
     h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
         lp["mlp_out_b"].astype(jnp.bfloat16)
-    return x + ap(h, res_spec)
+    return x + ap(h, res_spec), jnp.float32(0.0)
+
+
+def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
+                  ap=lambda x, s: x,
+                  res_spec: P = P("data", None, None)) -> jnp.ndarray:
+    """block_forward_aux without the aux output (dense/serving callers)."""
+    return block_forward_aux(x, lp, cfg, ap, res_spec)[0]
 
 
 def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
@@ -218,22 +319,27 @@ def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
-            sharded: bool = False, seq_sharded: bool = False) -> jnp.ndarray:
+            sharded: bool = False, seq_sharded: bool = False,
+            with_aux: bool = False):
     """ViT forward: [B, H, W, 3] float in [0,1] → [B, n_classes] f32 logits.
 
     ``sharded`` adds GSPMD activation constraints (dp over batch, tp over
     hidden) for the multi-chip path; ``seq_sharded`` additionally shards
     the residual stream's token axis over 'model' between the TP regions
-    (Megatron sequence parallelism — see block_forward's ``res_spec``).
+    (Megatron sequence parallelism — see block_forward's ``res_spec``);
+    ``with_aux`` returns ``(logits, moe_aux_loss)`` for MoE training.
     """
     ap = functools.partial(_constrain) if sharded else (lambda x, s: x)
     res_spec = (P("data", "model", None) if seq_sharded
                 else P("data", None, None))
     x = embed(params, frames, cfg)
     x = ap(x, res_spec)
+    aux_total = jnp.float32(0.0)
     for lp in params["layers"]:
-        x = block_forward(x, lp, cfg, ap, res_spec)
-    return head(params, x)
+        x, aux = block_forward_aux(x, lp, cfg, ap, res_spec)
+        aux_total = aux_total + aux
+    logits = head(params, x)
+    return (logits, aux_total) if with_aux else logits
 
 
 def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
@@ -281,13 +387,17 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
 
 def loss_fn(params, frames, labels, cfg: ViTConfig,
             sharded: bool = False) -> jnp.ndarray:
-    """Sigmoid BCE in f32 (labels: [B] in {0,1})."""
-    logits = forward(params, frames, cfg, sharded=sharded)[:, 0]
-    z = logits.astype(jnp.float32)
+    """Sigmoid BCE in f32 (labels: [B] in {0,1}); MoE configs add the
+    Switch load-balancing aux loss (coefficient 0.01)."""
+    out, aux = forward(params, frames, cfg, sharded=sharded, with_aux=True)
+    z = out[:, 0].astype(jnp.float32)
     y = labels.astype(jnp.float32)
     # numerically stable BCE-with-logits
     per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    return jnp.mean(per)
+    loss = jnp.mean(per)
+    if cfg.n_experts:
+        loss = loss + 0.01 * aux
+    return loss
 
 
 def make_train_step(cfg: ViTConfig, optimizer, sharded: bool = False):
