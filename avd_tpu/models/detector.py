@@ -355,7 +355,7 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
     the (S-1)/(n_micro+S-1) bubble); the batch must divide by it, and
     each microbatch by the mesh's ``data`` axis when present.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from avd_tpu.parallel import pipeline as pl
 

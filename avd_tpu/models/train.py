@@ -141,7 +141,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           out: str | None = None, data: str | None = None,
           image_size: int = 64, width: int = 256, depth: int = 4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
-          cache_samples: int = 8192, arch: str = "vit"):
+          cache_samples: int = 8192, arch: str = "vit",
+          experts: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -155,7 +156,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         cfg = detector.make_config("small", image_size=image_size)
     else:
         cfg = detector.make_config("full", image_size=image_size, patch=16,
-                                   width=width, depth=depth, heads=heads)
+                                   width=width, depth=depth, heads=heads,
+                                   n_experts=experts)
     params = detector.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = detector.make_optimizer(lr)
 
@@ -241,11 +243,14 @@ def main() -> int:
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--arch", default="vit", choices=("vit", "cnn"),
                     help="model family (models/__init__.py)")
+    ap.add_argument("--experts", type=int, default=0,
+                    help="ViT only: Switch-MoE expert count (0 = dense)")
     args = ap.parse_args()
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
-                      depth=args.depth, heads=args.heads, arch=args.arch)
+                      depth=args.depth, heads=args.heads, arch=args.arch,
+                      experts=args.experts)
     print(f"final loss {losses[-1]:.4f}")
     return 0
 
