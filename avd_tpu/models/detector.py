@@ -379,8 +379,7 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
     xspec = P(None, "data") if "data" in mesh.axis_names else P(None)
     run = shard_map(
         lambda sp, x: pl.gpipe(stage_fn, sp, x, n_stages),
-        mesh=mesh, in_specs=(P("stage"), xspec), out_specs=xspec,
-        check_rep=False)
+        mesh=mesh, in_specs=(P("stage"), xspec), out_specs=xspec)
     ys = run(stacked, xs)
     return head(params, ys.reshape(B, cfg.tokens, cfg.width))
 

@@ -74,8 +74,11 @@ def gpipe(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         state = jax.lax.ppermute(y, axis, perm)
         return (state, out), None
 
-    state0 = jnp.zeros_like(xs[0])
-    out0 = jnp.zeros_like(xs)
+    # the carry becomes device-varying over the stage axis on the first
+    # tick (axis_index + ppermute); mark the zero-init accordingly so the
+    # scan carry types match under shard_map's varying-axes checker
+    state0 = jax.lax.pcast(jnp.zeros_like(xs[0]), (axis,), to="varying")
+    out0 = jax.lax.pcast(jnp.zeros_like(xs), (axis,), to="varying")
     (_, out), _ = jax.lax.scan(tick, (state0, out0),
                                jnp.arange(n_micro + n_stages - 1))
     # replicate the last stage's buffer to every stage (single collective)
