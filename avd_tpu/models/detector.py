@@ -434,3 +434,27 @@ def load_checkpoint(path: str, like) -> Any:
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(path, like)
+
+
+def load_checkpoint_sharded(path: str, like, mesh, specs) -> Any:
+    """Restore a checkpoint directly into mesh-sharded device arrays.
+
+    ``like`` is a parameter pytree (or matching ShapeDtypeStructs) and
+    ``specs`` the PartitionSpec pytree (``param_specs``).  Each leaf is
+    restored straight to its shards' owners — no replicated host copy,
+    so resume works for models larger than one host/chip.  Works for
+    any family/config whose specs match the saved tree (TP, EP, PP
+    stacks alike).
+    """
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding
+
+    flat_like, tree = jax.tree_util.tree_flatten(like)
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    abstract = tree.unflatten([
+        jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype,
+                             sharding=NamedSharding(mesh, s))
+        for x, s in zip(flat_like, flat_specs)])
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, abstract)

@@ -47,3 +47,29 @@ def test_checkpoint_roundtrip(tmp_path):
     # and differs from the unrelated fresh init
     out_fresh = np.asarray(detector.forward(fresh, frames, cfg))
     assert np.abs(out_fresh - out_orig).max() > 1e-4
+
+
+def test_checkpoint_restore_sharded(tmp_path):
+    """load_checkpoint_sharded restores each leaf straight onto its
+    mesh shards (no replicated host copy) with values intact."""
+    import jax
+    import pytest
+
+    from avd_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=2,
+                             heads=4)
+    params = detector.init_params(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "ckpt_sharded")
+    detector.save_checkpoint(ckpt, jax.device_get(params))
+
+    mesh = mesh_mod.make_mesh(8, axes=("data", "model"))
+    specs = detector.param_specs(cfg)
+    restored = detector.load_checkpoint_sharded(ckpt, params, mesh, specs)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    qkv = restored["layers"][0]["qkv_w"]
+    assert "model" in str(qkv.sharding.spec)
