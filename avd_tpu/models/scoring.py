@@ -2,7 +2,9 @@
 
 The reference's per-frame "detector" is a closed-form heuristic
 (video.py:54-57); BASELINE.json's north star adds batched per-frame
-CNN/ViT forwards.  This module adapts the ViT to the analyzer contract:
+CNN/ViT forwards.  This module adapts either model family (ViT default,
+``AVD_DETECTOR_ARCH=cnn`` for the ConvNeXt-style CNN) to the analyzer
+contract:
 
 * ``AVD_DETECTOR=1`` attaches ``video["detector"] = {"timeline": [...]}``
   (per-sampled-frame AI probabilities) to the video analyzer output —
