@@ -102,7 +102,13 @@ def build_app(analyze_fn=None) -> App:
     @app.route("GET", "/metrics")
     def metrics(req: Request) -> Response:
         """Process counters — beyond-reference observability
-        (SURVEY.md §5: requests, frames/sec, batch occupancy)."""
+        (SURVEY.md §5: requests, frames/sec, batch occupancy).
+
+        JSON by default; Prometheus text exposition (0.0.4) when the
+        scraper asks for it (``?format=prometheus`` or an Accept header
+        preferring text/plain), so a stock Prometheus scrape job works
+        against the same path.
+        """
         from avd_tpu.serve import batching
         from avd_tpu.utils.metrics import COUNTERS
         snap = COUNTERS.snapshot()
@@ -111,6 +117,24 @@ def build_app(analyze_fn=None) -> App:
             snap["batch_jobs_in"] = b.jobs_in
             snap["batches_formed"] = b.batches_formed
             snap["batch_fused_jobs"] = b.fused_jobs
+        accept = (req.headers.get("Accept") or "")
+        if (req.query.get("format") == "prometheus"
+                or ("text/plain" in accept
+                    and "application/json" not in accept)):
+            lines = []
+            for k in sorted(snap):
+                v = snap[k]
+                if not isinstance(v, (int, float)):
+                    continue
+                name = "avd_" + k
+                kind = ("gauge" if k.endswith(("_s", "_per_sec_lifetime"))
+                        else "counter")
+                lines.append(f"# TYPE {name} {kind}")
+                lines.append(f"{name} {float(v):g}")
+            text = "\n".join(lines) + "\n"
+            return Response(raw=text.encode(),
+                            headers={"Content-Type":
+                                     "text/plain; version=0.0.4"})
         return Response({"ok": True, "version": cfg.version,
                          "metrics": snap})
 

@@ -49,6 +49,29 @@ def test_metrics_counters_advance(server, tmp_path):
     assert "frames_per_sec_lifetime" in after
 
 
+def test_metrics_prometheus_format(server):
+    """?format=prometheus (or a text/plain Accept) serves the 0.0.4 text
+    exposition so a stock Prometheus scrape job works; JSON stays the
+    default."""
+    status, headers, data = _request(server, "GET",
+                                     "/metrics?format=prometheus")
+    assert status == 200
+    text = data.decode()
+    assert headers.get("Content-Type", "").startswith("text/plain")
+    assert "# TYPE avd_uptime_s gauge" in text
+    assert any(line.startswith("avd_uptime_s ")
+               for line in text.splitlines())
+
+    # Accept-header negotiation
+    status, headers, data = _request(server, "GET", "/metrics", None,
+                                     {"Accept": "text/plain"})
+    assert status == 200 and data.decode().startswith("# TYPE ")
+
+    # default stays JSON
+    status, _, data = _request(server, "GET", "/metrics")
+    assert json.loads(data)["ok"] is True
+
+
 def test_profile_absent_by_default(tmp_path):
     os.environ["AVD_BACKEND"] = "oracle"
     os.environ.pop("AVD_PROFILE", None)
