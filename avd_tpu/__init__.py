@@ -12,18 +12,23 @@ A ground-up re-design of the capabilities of ``backtato/ai-video-detector``
 * serving preserves the full HTTP surface (``api.py:213-266``) on a
   stdlib-based server with a pre-fork master (gunicorn-equivalent,
   ``gunicorn_conf.py``);
-* scaling is mesh-native: data parallelism over frames and context
-  parallelism over time via ``jax.sharding`` + ``shard_map`` (no NCCL/MPI —
-  XLA collectives over ICI/DCN).
+* scaling is mesh-native via ``jax.sharding`` + ``shard_map`` (no
+  NCCL/MPI — XLA collectives over ICI/DCN): data parallelism over
+  frames/batches, tensor + sequence parallelism and a Switch-MoE
+  expert-parallel option for the detector, GPipe pipeline parallelism
+  over a 'stage' axis, context parallelism over a clip's time axis with
+  a one-frame halo, and exact ring/Ulysses sequence-parallel attention.
 
 Package layout:
     analyzers/  public analyzer API mirroring the reference package
     ops/        JAX/XLA/Pallas kernels (color, resize, hash, laplacian,
-                optical flow, audio spectral features)
+                optical flow, audio spectral features, freq forensics)
     oracle/     independent numpy reference implementations for parity tests
     ingest/     host-side media IO (probe, frame batches, audio)
-    models/     per-frame neural detector (flagship model)
-    parallel/   mesh construction, shardings, halo exchange
+    models/     per-frame neural detector families (ViT + CNN), training,
+                checkpoints, scoring adapter
+    parallel/   mesh construction, shardings, halo exchange, GPipe
+                pipeline, ring/Ulysses attention, multi-slice init
     serve/      HTTP server, routes, pre-fork master, batching queue
     utils/      env/config/json helpers
 """
