@@ -63,6 +63,24 @@ _WORKER = textwrap.dedent("""
         logits = jax.jit(lambda p, x: detector.forward(p, x, cfg),
                          out_shardings=NamedSharding(mesh, P()))(params, fr)
     print(f"LOGIT {float(jnp.sum(logits)):.6f}", flush=True)
+
+    # one cross-process data-parallel TRAINING step: the batch is sharded
+    # over both processes' devices, gradients all-reduce over the global
+    # mesh (GSPMD/Gloo), and both processes must land on the identical
+    # replicated loss and updated params
+    opt = detector.make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    step = detector.make_train_step(cfg, opt)
+    labels_full = (np.arange(8) % 2).astype(np.int32)
+    lb = jax.make_array_from_process_local_data(
+        sharding, labels_full[pid * 4:(pid + 1) * 4], labels_full.shape)
+    with mesh:
+        params, opt_state, loss = jax.jit(
+            step, out_shardings=(NamedSharding(mesh, P()), None,
+                                 NamedSharding(mesh, P())))(
+            params, opt_state, fr, lb)
+        psum = jnp.sum(jnp.abs(params["patch_w"]))
+    print(f"LOSS {float(loss):.6f} PSUM {float(psum):.4f}", flush=True)
 """)
 
 
@@ -99,3 +117,7 @@ def test_two_process_global_mesh(tmp_path):
     lg = [line for out in outs for line in out.splitlines()
           if line.startswith("LOGIT ")]
     assert len(lg) == 2 and lg[0] == lg[1], lg
+    # and agreed on the cross-process training step's loss + new params
+    ls = [line for out in outs for line in out.splitlines()
+          if line.startswith("LOSS ")]
+    assert len(ls) == 2 and ls[0] == ls[1], ls
