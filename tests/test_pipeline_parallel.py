@@ -88,6 +88,29 @@ def test_pp_more_microbatches_than_stages():
     np.testing.assert_allclose(ref, np.asarray(out), atol=2e-2)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the virtual 8-device mesh")
+def test_pp_with_moe_layers():
+    """PP over a Switch-MoE layer stack (stack_layers on the MoE param
+    dicts; router margins boosted for layout-stable routing — see
+    tests/test_moe.py)."""
+    from avd_tpu.models import detector
+    from avd_tpu.parallel import mesh as mesh_mod
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=4,
+                             heads=4, n_experts=4)
+    params = detector.init_params(jax.random.PRNGKey(5), cfg)
+    for lp in params["layers"]:
+        lp["router_w"] = lp["router_w"] * 10.0
+    frames = jnp.asarray(np.random.default_rng(5).random((8, 32, 32, 3),
+                                                         np.float32))
+    ref = np.asarray(detector.forward(params, frames, cfg))
+    mesh = mesh_mod.make_mesh(4, axes=("stage",))
+    with mesh:
+        out = jax.jit(lambda p, f: detector.forward_pipelined(
+            p, f, cfg, mesh, n_micro=4))(params, frames)
+    np.testing.assert_allclose(ref, np.asarray(out), atol=2e-2)
+
+
 def test_pp_shape_validation():
     from avd_tpu.models import detector
     from avd_tpu.parallel import mesh as mesh_mod
