@@ -384,16 +384,20 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
     return head(params, ys.reshape(B, cfg.tokens, cfg.width))
 
 
+def _bce(z: jnp.ndarray, labels) -> jnp.ndarray:
+    """Numerically stable sigmoid BCE-with-logits, mean over the batch."""
+    z = z.astype(jnp.float32)
+    y = labels.astype(jnp.float32)
+    per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.mean(per)
+
+
 def loss_fn(params, frames, labels, cfg: ViTConfig,
             sharded: bool = False) -> jnp.ndarray:
     """Sigmoid BCE in f32 (labels: [B] in {0,1}); MoE configs add the
     Switch load-balancing aux loss (coefficient 0.01)."""
     out, aux = forward(params, frames, cfg, sharded=sharded, with_aux=True)
-    z = out[:, 0].astype(jnp.float32)
-    y = labels.astype(jnp.float32)
-    # numerically stable BCE-with-logits
-    per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    loss = jnp.mean(per)
+    loss = _bce(out[:, 0], labels)
     if cfg.n_experts:
         loss = loss + 0.01 * aux
     return loss
@@ -405,6 +409,26 @@ def make_train_step(cfg: ViTConfig, optimizer, sharded: bool = False):
     def step(params, opt_state, frames, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, frames, labels,
                                                   cfg, sharded)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_pp_train_step(cfg: ViTConfig, optimizer, mesh, n_micro: int = 0):
+    """Training step whose forward runs pipeline-parallel over the
+    mesh's 'stage' axis (forward_pipelined); gradients flow back through
+    the GPipe scan (ppermute transposes to the reverse ring).  MoE aux
+    loss is not collected on the pipelined path (dense configs)."""
+
+    def pp_loss(params, frames, labels):
+        logits = forward_pipelined(params, frames, cfg, mesh, n_micro)
+        return _bce(logits[:, 0], labels)
+
+    def step(params, opt_state, frames, labels):
+        loss, grads = jax.value_and_grad(pp_loss)(params, frames, labels)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)

@@ -142,7 +142,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           image_size: int = 64, width: int = 256, depth: int = 4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
           cache_samples: int = 8192, arch: str = "vit",
-          experts: int = 0):
+          experts: int = 0, pp_stages: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -164,13 +164,27 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     n_dev = len(jax.devices())
     sharded = n_dev > 1
     mesh = None
-    if sharded:
-        mesh = mesh_mod.make_mesh(n_dev, axes=("data", "model"))
-        params = mesh_mod.shard_params(mesh, params,
-                                       detector.param_specs(cfg))
-    opt_state = optimizer.init(params)
-    step_fn = jax.jit(detector.make_train_step(cfg, optimizer,
-                                               sharded=sharded))
+    if pp_stages > 1:
+        # pipeline-parallel training: (data, stage) mesh, GPipe forward
+        if arch != "vit":
+            raise ValueError("--pp requires the ViT family")
+        if n_dev % pp_stages or cfg.depth % pp_stages:
+            raise ValueError(f"{n_dev} devices / depth {cfg.depth} not "
+                             f"divisible by {pp_stages} stages")
+        mesh = mesh_mod.make_mesh(n_dev, axes=("data", "stage"),
+                                  shape=(n_dev // pp_stages, pp_stages))
+        sharded = True
+        opt_state = optimizer.init(params)
+        step_fn = jax.jit(detector.make_pp_train_step(cfg, optimizer,
+                                                      mesh))
+    else:
+        if sharded:
+            mesh = mesh_mod.make_mesh(n_dev, axes=("data", "model"))
+            params = mesh_mod.shard_params(mesh, params,
+                                           detector.param_specs(cfg))
+        opt_state = optimizer.init(params)
+        step_fn = jax.jit(detector.make_train_step(cfg, optimizer,
+                                                   sharded=sharded))
 
     rng = np.random.default_rng(seed)
     batches = (_dir_batches(data, rng, batch, image_size) if data else None)
@@ -245,12 +259,15 @@ def main() -> int:
                     help="model family (models/__init__.py)")
     ap.add_argument("--experts", type=int, default=0,
                     help="ViT only: Switch-MoE expert count (0 = dense)")
+    ap.add_argument("--pp", type=int, default=0, dest="pp_stages",
+                    help="pipeline-parallel stage count (GPipe over a "
+                         "(data, stage) mesh; ViT only)")
     args = ap.parse_args()
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
-                      experts=args.experts)
+                      experts=args.experts, pp_stages=args.pp_stages)
     print(f"final loss {losses[-1]:.4f}")
     return 0
 

@@ -73,3 +73,18 @@ def test_checkpoint_restore_sharded(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     qkv = restored["layers"][0]["qkv_w"]
     assert "model" in str(qkv.sharding.spec)
+
+
+def test_train_driver_pipeline_parallel():
+    """--pp: GPipe pipeline-parallel training through the real driver
+    on the (data, stage) virtual mesh."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from avd_tpu.models import train as train_mod
+    _, losses = train_mod.train(steps=2, batch=8, image_size=32,
+                                log_every=0, cache_samples=8,
+                                pp_stages=4)
+    assert len(losses) == 2 and all(np.isfinite(losses))
