@@ -46,6 +46,11 @@ class ViTConfig:
     # per-example token groups and capacity dropping.
     n_experts: int = 0
     capacity_factor: float = 1.25
+    # Rematerialize each block under autodiff (jax.checkpoint): training
+    # activation memory drops from O(depth) residual streams to O(1) at
+    # the cost of recomputing each block's forward in the backward pass —
+    # the standard TPU HBM-for-FLOPs trade for deep/big-batch configs.
+    remat: bool = False
 
     @property
     def tokens(self) -> int:
@@ -334,9 +339,15 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
                 else P("data", None, None))
     x = embed(params, frames, cfg)
     x = ap(x, res_spec)
+
+    def body(x, lp):
+        return block_forward_aux(x, lp, cfg, ap, res_spec)
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
     aux_total = jnp.float32(0.0)
     for lp in params["layers"]:
-        x, aux = block_forward_aux(x, lp, cfg, ap, res_spec)
+        x, aux = body(x, lp)
         aux_total = aux_total + aux
     logits = head(params, x)
     return (logits, aux_total) if with_aux else logits

@@ -142,7 +142,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           image_size: int = 64, width: int = 256, depth: int = 4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
           cache_samples: int = 8192, arch: str = "vit",
-          experts: int = 0, pp_stages: int = 0):
+          experts: int = 0, pp_stages: int = 0, remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -157,7 +157,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     else:
         cfg = detector.make_config("full", image_size=image_size, patch=16,
                                    width=width, depth=depth, heads=heads,
-                                   n_experts=experts)
+                                   n_experts=experts, remat=remat)
     params = detector.init_params(jax.random.PRNGKey(seed), cfg)
     optimizer = detector.make_optimizer(lr)
 
@@ -262,12 +262,16 @@ def main() -> int:
     ap.add_argument("--pp", type=int, default=0, dest="pp_stages",
                     help="pipeline-parallel stage count (GPipe over a "
                          "(data, stage) mesh; ViT only)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize blocks under autodiff "
+                         "(activation memory O(1) in depth; ViT only)")
     args = ap.parse_args()
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
-                      experts=args.experts, pp_stages=args.pp_stages)
+                      experts=args.experts, pp_stages=args.pp_stages,
+                      remat=args.remat)
     print(f"final loss {losses[-1]:.4f}")
     return 0
 

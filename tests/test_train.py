@@ -88,3 +88,27 @@ def test_train_driver_pipeline_parallel():
                                 log_every=0, cache_samples=8,
                                 pp_stages=4)
     assert len(losses) == 2 and all(np.isfinite(losses))
+
+
+def test_remat_gradients_identical():
+    """cfg.remat recomputes block forwards in the backward pass — the
+    gradients must be identical to the non-remat path (same ops)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=2,
+                             heads=4)
+    params = detector.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((4, 32, 32, 3),
+                                                    np.float32))
+    y = jnp.asarray(np.arange(4) % 2)
+    l1, g1 = jax.value_and_grad(detector.loss_fn)(params, x, y, cfg)
+    l2, g2 = jax.value_and_grad(detector.loss_fn)(
+        params, x, y, dataclasses.replace(cfg, remat=True))
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
