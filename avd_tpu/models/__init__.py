@@ -19,9 +19,12 @@ FAMILIES = ("vit", "cnn")
 
 
 def family(name: str):
-    """Return the model-family module for ``name`` ('vit' default)."""
+    """Return the model-family module for ``name``."""
     if name == "cnn":
         from avd_tpu.models import cnn
         return cnn
-    from avd_tpu.models import detector
-    return detector
+    if name == "vit":
+        from avd_tpu.models import detector
+        return detector
+    raise ValueError(f"unknown model family {name!r}; "
+                     f"choose from {list(FAMILIES)}")

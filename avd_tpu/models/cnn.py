@@ -79,7 +79,10 @@ PRESETS = {
 
 
 def make_config(preset: str = "small", **over) -> CNNConfig:
-    kw = dict(PRESETS.get(preset, {}))
+    if preset not in PRESETS:
+        raise ValueError(f"unknown CNN preset {preset!r}; "
+                         f"choose from {sorted(PRESETS)}")
+    kw = dict(PRESETS[preset])
     kw.update(over)
     return CNNConfig(**kw)
 
@@ -222,22 +225,12 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: CNNConfig,
 def loss_fn(params, frames, labels, cfg: CNNConfig,
             sharded: bool = False) -> jnp.ndarray:
     """Sigmoid BCE in f32 (labels: [B] in {0,1})."""
-    logits = forward(params, frames, cfg, sharded=sharded)[:, 0]
-    z = logits.astype(jnp.float32)
-    y = labels.astype(jnp.float32)
-    per = jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    return jnp.mean(per)
+    from avd_tpu.models.detector import _bce
+    return _bce(forward(params, frames, cfg, sharded=sharded)[:, 0], labels)
 
 
 def make_train_step(cfg: CNNConfig, optimizer, sharded: bool = False):
-    """(params, opt_state, frames, labels) → (params, opt_state, loss)."""
-
-    def step(params, opt_state, frames, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, frames, labels,
-                                                  cfg, sharded)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        import optax
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return step
+    """(params, opt_state, frames, labels) → (params, opt_state, loss) —
+    the shared optimizer-step body with this family's loss."""
+    from avd_tpu.models import detector
+    return detector.make_train_step(cfg, optimizer, sharded, loss=loss_fn)

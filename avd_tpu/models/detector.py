@@ -82,7 +82,10 @@ PRESETS = {
 
 
 def make_config(preset: str = "full", **over) -> "ViTConfig":
-    kw = dict(PRESETS.get(preset, {}))
+    if preset not in PRESETS:
+        raise ValueError(f"unknown ViT preset {preset!r}; "
+                         f"choose from {sorted(PRESETS)}")
+    kw = dict(PRESETS[preset])
     kw.update(over)
     return ViTConfig(**kw)
 
@@ -414,16 +417,20 @@ def loss_fn(params, frames, labels, cfg: ViTConfig,
     return loss
 
 
-def make_train_step(cfg: ViTConfig, optimizer, sharded: bool = False):
-    """(params, opt_state, frames, labels) → (params, opt_state, loss)."""
+def make_train_step(cfg, optimizer, sharded: bool = False, loss=None):
+    """(params, opt_state, frames, labels) → (params, opt_state, loss).
+
+    ``loss`` defaults to this module's ``loss_fn``; the CNN family passes
+    its own (same signature) so both share one optimizer-step body."""
+    loss = loss or loss_fn
 
     def step(params, opt_state, frames, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, frames, labels,
-                                                  cfg, sharded)
+        lval, grads = jax.value_and_grad(loss)(params, frames, labels,
+                                               cfg, sharded)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, lval
 
     return step
 
@@ -487,8 +494,11 @@ def load_checkpoint_sharded(path: str, like, mesh, specs) -> Any:
     flat_like, tree = jax.tree_util.tree_flatten(like)
     flat_specs = jax.tree_util.tree_leaves(
         specs, is_leaf=lambda x: isinstance(x, P))
+    # read shape/dtype attributes directly: leaves may be numpy arrays,
+    # jax arrays, or ShapeDtypeStructs, and jnp.asarray would both
+    # reject the latter and device-transfer concrete hosts leaves
     abstract = tree.unflatten([
-        jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype,
+        jax.ShapeDtypeStruct(x.shape, x.dtype,
                              sharding=NamedSharding(mesh, s))
         for x, s in zip(flat_like, flat_specs)])
     ckpt = ocp.StandardCheckpointer()

@@ -124,13 +124,19 @@ def _dir_batches(root: str, rng, batch: int, size: int):
         d = os.path.join(root, sub)
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))] \
             if os.path.isdir(d) else []
+        if not files:
+            raise ValueError(f"--data {root}: no files in {sub}/ "
+                             "(need non-empty real/ and ai/ folders)")
         pools.append((label, files))
     while True:
         frames = np.empty((batch, size, size, 3), np.float32)
         labels = np.empty((batch,), np.int32)
         for i in range(batch):
             label, files = pools[rng.integers(0, 2)]
-            img = cv2.imread(files[rng.integers(0, len(files))])
+            fname = files[rng.integers(0, len(files))]
+            img = cv2.imread(fname)
+            if img is None:
+                raise ValueError(f"--data: unreadable image {fname}")
             img = cv2.resize(img, (size, size))[..., ::-1]
             frames[i] = img.astype(np.float32) / 255.0
             labels[i] = label
@@ -202,7 +208,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         pool = (np.concatenate(pf), np.concatenate(pl))
 
     losses = []
-    ctx = mesh or _nullcontext()
+    import contextlib
+    ctx = mesh or contextlib.nullcontext()
     with ctx:
         t0 = time.time()
         for step in range(steps):
@@ -235,14 +242,6 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     return params, losses
 
 
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
 def main() -> int:
     ap = argparse.ArgumentParser(description="Train the per-frame detector")
     ap.add_argument("--steps", type=int, default=200)
@@ -266,13 +265,22 @@ def main() -> int:
                     help="rematerialize blocks under autodiff "
                          "(activation memory O(1) in depth; ViT only)")
     args = ap.parse_args()
+    if args.arch == "cnn":
+        ignored = [f for f, d in (("--width", 256), ("--depth", 4),
+                                  ("--heads", 4), ("--experts", 0))
+                   if getattr(args, f.lstrip("-")) != d]
+        if args.remat:
+            ignored.append("--remat")
+        if ignored:
+            ap.error(f"{', '.join(ignored)} only apply to --arch vit")
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
                       experts=args.experts, pp_stages=args.pp_stages,
                       remat=args.remat)
-    print(f"final loss {losses[-1]:.4f}")
+    if losses:
+        print(f"final loss {losses[-1]:.4f}")
     return 0
 
 

@@ -38,6 +38,8 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, only {len(devs)} visible")
     devs = devs[:n]
     if shape is None:
         if len(axes) == 2:
