@@ -151,13 +151,14 @@ def build_app(analyze_fn=None) -> App:
     def _do_analyze(req: Request) -> Response:
         files, _ = parse_multipart(req, cfg.max_upload_bytes,
                                    _too_large_detail)
-        up = files.get("file")
-        if up is None:
-            raise HTTPError(415, {"error": "File vuoto o non ricevuto"})
         try:
+            up = files.get("file")
+            if up is None:
+                raise HTTPError(415, {"error": "File vuoto o non ricevuto"})
             return Response(run_analysis(up.path))
         finally:
-            up.unlink()
+            for f in files.values():  # incl. misnamed/extra spooled parts
+                f.unlink()
 
     def _do_analyze_url(url: str) -> Response:
         from avd_tpu.ingest import url as url_resolver
@@ -180,7 +181,9 @@ def build_app(analyze_fn=None) -> App:
 
     @app.route("POST", "/analyze-url")
     def analyze_url(req: Request) -> Response:
-        _, fields = parse_multipart_or_form(req)
+        files, fields = parse_multipart_or_form(req)
+        for f in files.values():  # stray file parts must not leak spools
+            f.unlink()
         return _do_analyze_url(fields.get("url", ""))
 
     @app.route("POST", "/predict")
@@ -188,16 +191,17 @@ def build_app(analyze_fn=None) -> App:
         """Back-compat dispatcher (api.py:247-253): file → analyze,
         url → analyze-url, neither → 422."""
         files, fields = parse_multipart_or_form(req)
-        up = files.get("file")
-        if up is not None:
-            try:
+        try:
+            up = files.get("file")
+            if up is not None:
                 return Response(run_analysis(up.path))
-            finally:
-                up.unlink()
-        if fields.get("url"):
-            return _do_analyze_url(fields["url"])
-        raise HTTPError(422, {"error": "Nessun input",
-                              "hint": "Invia 'file' oppure 'url'."})
+            if fields.get("url"):
+                return _do_analyze_url(fields["url"])
+            raise HTTPError(422, {"error": "Nessun input",
+                                  "hint": "Invia 'file' oppure 'url'."})
+        finally:
+            for f in files.values():
+                f.unlink()
 
     def parse_multipart_or_form(req: Request):
         ctype = req.headers.get("Content-Type", "")

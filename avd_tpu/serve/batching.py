@@ -80,6 +80,19 @@ class WindowBatcher:
             self._closed = True
             self._lock.notify_all()
 
+    def _max_batch_for(self, key) -> int:
+        """Fuse only full-bucket prep windows: each (m, n) pair is a
+        distinct stacked device program, and serving warmup
+        (master._warmup) can only afford to precompile the full bucket's
+        m ladder — a tail-length fused batch would hit a minutes-long
+        cold Mosaic compile inside live requests.  Tail windows dispatch
+        singly through the warmed non-stacked program instead."""
+        if key[0] == "prep":
+            from avd_tpu.ops import video_features
+            if key[1] != video_features._DEFAULT_CHUNK + 1:
+                return 1
+        return self.max_batch
+
     # ------------------------------------------------------------------
     def _worker(self, key: Tuple[int, int, int]) -> None:
         while True:
@@ -89,11 +102,12 @@ class WindowBatcher:
                 if self._closed and not self._queues.get(key):
                     return
                 deadline = time.monotonic() + self.window_s
-                while (len(self._queues[key]) < self.max_batch
+                maxb = self._max_batch_for(key)
+                while (len(self._queues[key]) < maxb
                        and time.monotonic() < deadline):
                     self._lock.wait(timeout=max(
                         0.001, deadline - time.monotonic()))
-                jobs = self._queues[key][:self.max_batch]
+                jobs = self._queues[key][:maxb]
                 self._queues[key] = self._queues[key][len(jobs):]
             if jobs:
                 self._run(key, jobs)
@@ -117,13 +131,19 @@ class WindowBatcher:
                 # packed: ONE put + ONE fetch per batch (~24 ms per
                 # tunnel round trip otherwise)
                 n = key[1]
-                fn = video_features._compiled_prep_stacked_packed(mb, n)
                 packed = np.stack([video_features._pack_prep_window(
                     *j.windows) for j in jobs])
-                if mb != m:
-                    packed = np.concatenate(
-                        [packed, np.repeat(packed[-1:], mb - m, axis=0)])
-                res = np.asarray(fn(jnp.asarray(packed)))  # [mb, 3(n-1)]
+                if m == 1 and n != video_features._DEFAULT_CHUNK + 1:
+                    # tail windows ride the warmed non-stacked program
+                    fn = video_features._compiled_prep_packed(n)
+                    res = np.asarray(fn(jnp.asarray(packed[0])))[None]
+                else:
+                    fn = video_features._compiled_prep_stacked_packed(mb, n)
+                    if mb != m:
+                        packed = np.concatenate(
+                            [packed, np.repeat(packed[-1:], mb - m,
+                                               axis=0)])
+                    res = np.asarray(fn(jnp.asarray(packed)))  # [mb, 3(n-1)]
                 self.batches_formed += 1
                 if m > 1:
                     self.fused_jobs += m

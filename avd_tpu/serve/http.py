@@ -13,6 +13,7 @@ import json
 import os
 import socketserver
 import tempfile
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -65,6 +66,9 @@ class BodyStream:
         self._remaining = content_length
         self._chunk_left = 0
         self.finished = (content_length <= 0) and not chunked
+        # set on a framing error: the body length is unknowable, so the
+        # connection must be closed even though reads have stopped
+        self.broken = False
 
     def read(self, n: int) -> bytes:
         if self.finished or n <= 0:
@@ -85,6 +89,7 @@ class BodyStream:
                 size = int(line.split(b";")[0].strip() or b"0", 16)
             except ValueError:
                 self.finished = True
+                self.broken = True
                 raise HTTPError(400, {"error": "framing chunked non valido"})
             if size == 0:
                 while True:  # consume optional trailers up to blank line
@@ -159,7 +164,9 @@ def parse_multipart(req: Request, max_file_bytes: int,
     ctype = req.headers.get("Content-Type", "")
     if "multipart/form-data" not in ctype or "boundary=" not in ctype:
         raise HTTPError(422, {"error": "Content-Type multipart/form-data richiesto"})
-    boundary = ctype.split("boundary=", 1)[1].strip().strip('"')
+    # boundary may not be the last Content-Type parameter (RFC 2046)
+    boundary = ctype.split("boundary=", 1)[1].split(";", 1)[0] \
+        .strip().strip('"')
     delim = b"--" + boundary.encode()
 
     stream = req.stream
@@ -248,8 +255,11 @@ def parse_multipart(req: Request, max_file_bytes: int,
                     raise
                 files[name] = UploadedFile(filename, tmp.name, size)
             else:
+                # fields buffer in memory — apply the same size cap so a
+                # giant filename-less part can't OOM the worker
                 while marker not in buf and fill():
-                    pass
+                    if len(buf) > max_file_bytes:
+                        raise HTTPError(413, too_large_detail())
                 idx = buf.find(marker)
                 if idx < 0:
                     value, buf = buf, b""
@@ -298,21 +308,57 @@ class App:
         self._options_handler = fn
         return fn
 
-    def _cors_headers(self, origin: Optional[str]) -> Dict[str, str]:
-        allow = "*"
-        if "*" not in self.allowed_origins:
-            allow = origin if origin in self.allowed_origins else \
-                self.allowed_origins[0]
-        return {
-            "Access-Control-Allow-Origin": allow,
-            "Access-Control-Allow-Credentials": "true",
-            "Access-Control-Allow-Methods": "*",
-            "Access-Control-Allow-Headers": "*",
-        }
+    _ALL_METHODS = "DELETE, GET, HEAD, OPTIONS, PATCH, POST, PUT"
+
+    def _cors_headers(self, origin: Optional[str],
+                      has_cookie: bool) -> Dict[str, str]:
+        """Simple-response CORS headers, mirroring the reference's
+        Starlette CORSMiddleware (api.py:31-37, allow_credentials=True):
+        nothing without an Origin; wildcard sends ``*`` except for
+        credentialed (cookie-carrying) requests, which get the origin
+        echoed; a non-wildcard list echoes allowed origins and omits the
+        header for disallowed ones."""
+        if not origin:
+            return {}
+        out = {"Access-Control-Allow-Credentials": "true"}
+        if "*" in self.allowed_origins:
+            if has_cookie:
+                out["Access-Control-Allow-Origin"] = origin
+                out["Vary"] = "Origin"
+            else:
+                out["Access-Control-Allow-Origin"] = "*"
+        elif origin in self.allowed_origins:
+            out["Access-Control-Allow-Origin"] = origin
+            out["Vary"] = "Origin"
+        return out
+
+    def _preflight(self, req: Request, origin: str) -> Response:
+        """CORS preflight (OPTIONS + Origin + Access-Control-Request-
+        Method), intercepted before routing like CORSMiddleware."""
+        headers = {"Access-Control-Allow-Credentials": "true",
+                   "Access-Control-Allow-Methods": self._ALL_METHODS,
+                   "Access-Control-Max-Age": "600"}
+        req_headers = req.headers.get("Access-Control-Request-Headers")
+        if req_headers:
+            headers["Access-Control-Allow-Headers"] = req_headers
+        if "*" in self.allowed_origins:
+            headers["Access-Control-Allow-Origin"] = "*"
+        elif origin in self.allowed_origins:
+            headers["Access-Control-Allow-Origin"] = origin
+            headers["Vary"] = "Origin"
+        else:
+            return Response(raw=b"Disallowed CORS origin", status=400,
+                            headers={"Content-Type": "text/plain"})
+        return Response(raw=b"OK", status=200, headers={
+            "Content-Type": "text/plain", **headers})
 
     def dispatch(self, req: Request) -> Response:
         origin = req.headers.get("Origin")
-        cors = self._cors_headers(origin)
+        if (req.method == "OPTIONS" and origin
+                and req.headers.get("Access-Control-Request-Method")):
+            return self._preflight(req, origin)
+        cors = self._cors_headers(origin,
+                                  bool(req.headers.get("Cookie")))
         try:
             if req.method == "OPTIONS":
                 resp = (self._options_handler(req) if self._options_handler
@@ -352,6 +398,17 @@ class _Handler(BaseHTTPRequestHandler):
     app: App = None  # set by make_server
 
     def _handle(self):
+        began = getattr(self.server, "request_began", None)
+        if began:
+            began()
+        try:
+            self._handle_inner()
+        finally:
+            done = getattr(self.server, "request_done", None)
+            if done:
+                done()
+
+    def _handle_inner(self):
         parsed = urlparse(self.path)
         query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
         chunked = "chunked" in (
@@ -360,27 +417,40 @@ class _Handler(BaseHTTPRequestHandler):
             self.headers.get("Content-Length") or 0)
         body = BodyStream(self.rfile, content_length=length,
                           chunked=chunked)
-        req = Request(self.command, parsed.path, query, self.headers, body)
+        # HEAD routes like GET (Starlette auto-adds HEAD to GET routes)
+        # but must not carry a body (RFC 9110)
+        is_head = self.command == "HEAD"
+        method = "GET" if is_head else self.command
+        req = Request(method, parsed.path, query, self.headers, body)
         resp = self.app.dispatch(req)
-        # keep-alive hygiene: the next pipelined request must not read
-        # leftover body bytes (e.g. after an early 413)
-        try:
-            drained = body.finished or body.drain()
-        except Exception:
-            drained = False
-        if not drained:
+        # keep-alive hygiene: the next pipelined request must not parse
+        # leftover body bytes.  An unconsumed or broken body closes the
+        # connection; the response goes out FIRST so an early 413/400
+        # isn't delayed behind draining a slow multi-MB upload.
+        if body.broken or not body.finished:
             self.close_connection = True
             resp.headers["Connection"] = "close"
+        if getattr(self.server, "draining", False):
+            self.close_connection = True
+            resp.headers.setdefault("Connection", "close")
         try:
             self.send_response(resp.status)
             for k, v in resp.headers.items():
                 self.send_header(k, v)
             self.send_header("Content-Length", str(len(resp.body)))
             self.end_headers()
-            if resp.body:
+            if resp.body and not is_head:
                 self.wfile.write(resp.body)
+            self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
             pass
+        # bounded best-effort drain AFTER the response is on the wire, so
+        # the client sees it before any RST from closing with unread data
+        if not body.broken and not body.finished:
+            try:
+                body.drain()
+            except Exception:
+                pass
 
     do_GET = do_POST = do_PUT = do_DELETE = do_OPTIONS = do_HEAD = _handle
 
@@ -392,6 +462,37 @@ class ThreadingHTTPServer(socketserver.ThreadingMixIn,
                           socketserver.TCPServer):
     daemon_threads = True
     allow_reuse_address = True
+    # Drain: daemon handler threads are NOT tracked by socketserver's
+    # _Threads (it skips daemons), so server_close() alone would return
+    # with requests still in flight and a worker's sys.exit would kill
+    # them mid-analysis.  We count in-flight REQUESTS (not connections —
+    # an idle keep-alive connection must not block retirement) and wait
+    # them out, telling handlers to stop keeping alive meanwhile.
+    drain_timeout: float = 30.0
+
+    def __init__(self, *args, **kwargs):
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self._idle = threading.Event()
+        self._idle.set()
+        self.draining = False
+        super().__init__(*args, **kwargs)
+
+    def request_began(self) -> None:
+        with self._inflight_lock:
+            self._inflight += 1
+            self._idle.clear()
+
+    def request_done(self) -> None:
+        with self._inflight_lock:
+            self._inflight -= 1
+            if self._inflight <= 0:
+                self._idle.set()
+
+    def server_close(self):
+        self.draining = True
+        super().server_close()
+        self._idle.wait(self.drain_timeout)
 
 
 def make_server(app: App, host: str, port: int,

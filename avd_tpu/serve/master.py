@@ -68,14 +68,18 @@ def _warmup() -> None:
             # the warm flag so live requests keep the exact 180 s.
             vf.warm_device()
             if get_config().batch_window_ms > 0:
-                # also warm the cross-request stacked buckets (packed)
+                # also warm the cross-request stacked buckets (packed) —
+                # the FULL m ladder the batcher can form (it fuses only
+                # the full bucket length; tails dispatch singly through
+                # the per-bucket programs warm_device covered above)
+                from avd_tpu.serve import batching
                 full = vf._DEFAULT_CHUNK + 1
                 zero320 = np.zeros((full, vf._FLOW_SIZE, vf._FLOW_SIZE),
                                    np.uint8)
                 zero32 = np.zeros((full, vf._HASH_SIZE, vf._HASH_SIZE),
                                   np.uint8)
                 packed = vf._pack_prep_window(zero320, zero32)
-                for m in (1, 2, 4):
+                for m in batching._BUCKETS:
                     fm = vf._compiled_prep_stacked_packed(m, full)
                     sp = np.broadcast_to(packed, (m,) + packed.shape)
                     np.asarray(fm(jnp.asarray(sp)))
@@ -102,6 +106,7 @@ def _worker_main(max_requests: int) -> None:
     application = app_mod.build_app()
     server = http_mod.make_server(application, host or "0.0.0.0", int(port),
                                   reuse_port=True)
+    server.drain_timeout = cfg.graceful_timeout_s
     served = 0
     recycle_asked = False
     orig_dispatch = application.dispatch
@@ -165,10 +170,19 @@ class Master:
         budget = self._budget()
         pid = os.fork()
         if pid == 0:
+            # never swallow a worker crash: print it and exit nonzero so
+            # the master can distinguish crash-respawn from retirement
+            code = 0
             try:
                 _worker_main(budget)
+            except SystemExit as e:
+                code = int(e.code or 0)
+            except BaseException:
+                import traceback
+                traceback.print_exc()
+                code = 1
             finally:
-                os._exit(0)
+                os._exit(code)
         self.workers[pid] = time.time()
         print(f"[master] spawned worker {pid}", flush=True)
         return pid
@@ -181,7 +195,17 @@ class Master:
                 return
             if not pid:
                 return
-            self.workers.pop(pid, None)
+            born = self.workers.pop(pid, None)
+            code = os.waitstatus_to_exitcode(_status)
+            if code:
+                print(f"[master] worker {pid} died (exit {code})",
+                      flush=True)
+            if born is not None and time.time() - born < 2.0 \
+                    and pid not in self.retiring \
+                    and pid not in self.retire_for:
+                # crash within 2 s of spawn: back off so a persistent
+                # boot failure (e.g. squatted port) doesn't fork-storm
+                time.sleep(0.5)
             if not self.running:
                 continue
             if pid in self.retire_for:

@@ -68,9 +68,14 @@ def test_concurrent_requests_fuse(batch_env):
     assert b.jobs_in == 4
 
 
-def test_prep_jobs_fuse_and_match(batch_env):
-    """Host-prep window pairs batch correctly too (the serving default)."""
+def test_prep_jobs_fuse_and_match(batch_env, monkeypatch):
+    """Host-prep window pairs batch correctly too (the serving default).
+
+    Only FULL-bucket windows fuse (tail lengths would hit unwarmed
+    stacked device programs mid-request) — shrink the chunk so the test
+    windows are the full bucket."""
     from avd_tpu.ops import video_features
+    monkeypatch.setattr(video_features, "_DEFAULT_CHUNK", 4)  # full n = 5
     rng = np.random.default_rng(0)
     pairs = [(rng.integers(0, 256, (5, 320, 320), dtype=np.int64)
               .astype(np.uint8),
@@ -92,6 +97,31 @@ def test_prep_jobs_fuse_and_match(batch_env):
         for pa, qa in zip(p, q):
             np.testing.assert_allclose(pa, qa, rtol=2e-5, atol=1e-5)
     assert b.fused_jobs >= 2
+
+
+def test_tail_windows_do_not_fuse(batch_env):
+    """Tail-length prep windows dispatch singly through the warmed
+    non-stacked program — fusing them would compile a cold stacked
+    shape inside live requests."""
+    from avd_tpu.ops import video_features
+    rng = np.random.default_rng(1)
+    n = 5
+    assert n != video_features._DEFAULT_CHUNK + 1
+    pairs = [(rng.integers(0, 256, (n, 320, 320), dtype=np.int64)
+              .astype(np.uint8),
+              rng.integers(0, 256, (n, 32, 32), dtype=np.int64)
+              .astype(np.uint8)) for _ in range(3)]
+    plain = [video_features.run_prep_window(a, b) for a, b in pairs]
+    os.environ["AVD_BATCH_WINDOW_MS"] = "150"
+    config_mod.reset_config()
+    batching.reset_active()
+    b = batching.active_batcher()
+    futures = [b.submit_prep(x, y) for x, y in pairs]
+    fused = [f.result(timeout=120) for f in futures]
+    for p, q in zip(plain, fused):
+        for pa, qa in zip(p, q):
+            np.testing.assert_allclose(pa, qa, rtol=2e-5, atol=1e-5)
+    assert b.fused_jobs == 0  # every tail job ran solo
 
 
 def test_disabled_returns_none():

@@ -84,9 +84,56 @@ def test_readyz_reports_tpu(server):
 
 
 def test_options_catchall(server):
+    # no Origin header → the route's 204, no CORS headers (the
+    # reference's CORSMiddleware only engages on requests with Origin)
     status, headers, _ = _request(server, "OPTIONS", "/anything/nested")
     assert status == 204
+    assert "Access-Control-Allow-Origin" not in headers
+    # with an Origin it is a simple cross-origin request → wildcard
+    status, headers, _ = _request(server, "OPTIONS", "/anything/nested",
+                                  headers={"Origin": "https://x.example"})
+    assert status == 204
     assert headers.get("Access-Control-Allow-Origin") == "*"
+
+
+def test_cors_preflight(server):
+    """OPTIONS + Origin + Access-Control-Request-Method is a preflight:
+    200 OK with the allow headers (CORSMiddleware semantics)."""
+    status, headers, data = _request(
+        server, "OPTIONS", "/analyze",
+        headers={"Origin": "https://x.example",
+                 "Access-Control-Request-Method": "POST",
+                 "Access-Control-Request-Headers": "content-type"})
+    assert status == 200 and data == b"OK"
+    assert headers.get("Access-Control-Allow-Origin") == "*"
+    assert "POST" in headers.get("Access-Control-Allow-Methods", "")
+    assert headers.get("Access-Control-Allow-Headers") == "content-type"
+
+
+def test_cors_credentialed_wildcard_echoes_origin(server):
+    """With '*' origins + credentials, a cookie-carrying request gets the
+    origin echoed (browsers reject 'Access-Control-Allow-Origin: *' on
+    credentialed responses) — Starlette CORSMiddleware behavior."""
+    status, headers, _ = _request(
+        server, "GET", "/healthz",
+        headers={"Origin": "https://x.example", "Cookie": "sid=1"})
+    assert status == 200
+    assert headers.get("Access-Control-Allow-Origin") == "https://x.example"
+    assert headers.get("Vary") == "Origin"
+
+
+def test_head_routes_like_get_without_body(server):
+    """HEAD resolves like GET (Starlette auto-HEAD) and must send no
+    body bytes (RFC 9110) while keeping the entity Content-Length."""
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("HEAD", "/healthz")
+    r = conn.getresponse()
+    body = r.read()
+    assert r.status == 200
+    assert body == b""
+    assert int(r.getheader("Content-Length")) > 0
+    conn.close()
 
 
 def test_cors_test_echo(server):
@@ -320,3 +367,60 @@ def test_keep_alive_reuses_connection(server):
         assert id(conn.sock) == sock_id  # same TCP connection throughout
     finally:
         conn.close()
+
+
+def test_chunked_framing_error_closes_connection(server):
+    """A malformed chunk-size line → 400 and Connection: close — the
+    body length is unknowable, so keep-alive would desync the next
+    pipelined request."""
+    import http.client
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.putrequest("POST", "/cors-test")
+    conn.putheader("Transfer-Encoding", "chunked")
+    conn.putheader("Content-Type", "text/plain")
+    conn.endheaders()
+    conn.send(b"zz\r\ngarbage\r\n")
+    r = conn.getresponse()
+    assert r.status == 400
+    assert (r.getheader("Connection") or "").lower() == "close"
+    conn.close()
+
+
+def test_multipart_boundary_with_trailing_params(server, tmp_path):
+    """boundary= need not be the last Content-Type parameter (RFC 2046)."""
+    clip = fixtures.solid_clip(16, 64)
+    path = fixtures.write_video(tmp_path / "b.mp4", clip, fps=30.0)
+    with open(path, "rb") as f:
+        body, headers = _multipart(files={"file": ("b.mp4", f.read())})
+    headers["Content-Type"] += "; charset=utf-8"
+    status, _, data = _request(server, "POST", "/analyze", body, headers)
+    assert status == 200
+    assert json.loads(data)["ok"] is True
+
+
+def test_server_close_waits_for_inflight_requests():
+    """server_close() must join in-flight requests (daemon handler
+    threads are invisible to socketserver's join) — the zero-downtime
+    recycle's drain depends on it."""
+    import threading
+    import time as _time
+
+    from avd_tpu.serve import http as http_mod
+
+    app = http_mod.App()
+    srv = http_mod.make_server(app, "127.0.0.1", 0)
+    srv.drain_timeout = 10.0
+    srv.request_began()          # simulate a request in flight
+    t0 = _time.time()
+    done = threading.Event()
+
+    def finish():
+        _time.sleep(0.5)
+        srv.request_done()
+        done.set()
+
+    threading.Thread(target=finish, daemon=True).start()
+    srv.server_close()           # must block until request_done fires
+    assert done.is_set()
+    assert _time.time() - t0 >= 0.45
+    assert srv.draining is True

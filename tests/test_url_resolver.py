@@ -115,11 +115,13 @@ def test_cors_origin_restriction(monkeypatch):
         resp = application.dispatch(req)
         assert resp.headers["Access-Control-Allow-Origin"] == \
             "https://app.example.com"
+        assert resp.headers.get("Vary") == "Origin"
         req = Request("GET", "/healthz", {}, {
             "Origin": "https://evil.example.com"}, BodyStream(None, 0))
         resp = application.dispatch(req)
-        assert resp.headers["Access-Control-Allow-Origin"] == \
-            "https://app.example.com"  # first configured origin, not evil
+        # disallowed origin: the header is OMITTED (Starlette
+        # CORSMiddleware behavior in the reference), never another origin
+        assert "Access-Control-Allow-Origin" not in resp.headers
     finally:
         monkeypatch.delenv("ALLOWED_ORIGINS")
         config_mod.reset_config()
