@@ -37,24 +37,19 @@ _C = 5      # M channels: g11, g12, g22, h1, h2
 _PAD8 = 8   # vertical replicate pre-pad (≥ half window, 8-row aligned)
 
 
-def _kernel(mpad_ref, out_ref, *, bh: int, w_valid: int, winsize: int):
-    """Grid (B, H // bh).
-
-    mpad_ref: [1, C, H + 16, Wp] — one batch element's padded M
-    out_ref:  [1, 2, bh, Wp]
-    """
+def blur_solve_rows(planes, bh: int, w_valid: int, winsize: int):
+    """Shared kernel body: 15×15 replicate-edge box mean over five
+    [bh + 2·_PAD8, Wp] row buffers (the M channels, vertical halo
+    included) + the regularized 2×2 solve → (u, v) planes of shape
+    [bh, Wp].  Used by this kernel and by the fused per-iteration kernel
+    (ops/pallas/flow_iter.py) so the edge-mask/slice math lives once."""
     half = (winsize - 1) // 2
-    wp = mpad_ref.shape[3]
-    i = pl.program_id(1)
-    r0 = i * bh  # buf rows [r0, r0 + bh + 2*_PAD8); 8-aligned by bh % 8 == 0
-
-    rows = bh + 2 * _PAD8
+    rows, wp = planes[0].shape
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     inv_area = 1.0 / float(winsize * winsize)
 
     blurred = []
-    for c in range(_C):
-        v = mpad_ref[0, c, pl.ds(r0, rows), :]
+    for v in planes:
         left = v[:, 0:1]
         right = v[:, w_valid - 1:w_valid]
         hacc = v
@@ -75,8 +70,23 @@ def _kernel(mpad_ref, out_ref, *, bh: int, w_valid: int, winsize: int):
 
     g11, g12, g22, h1, h2 = blurred
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    out_ref[0, 0] = (g22 * h1 - g12 * h2) * idet
-    out_ref[0, 1] = (g11 * h2 - g12 * h1) * idet
+    return ((g22 * h1 - g12 * h2) * idet,
+            (g11 * h2 - g12 * h1) * idet)
+
+
+def _kernel(mpad_ref, out_ref, *, bh: int, w_valid: int, winsize: int):
+    """Grid (B, H // bh).
+
+    mpad_ref: [1, C, H + 16, Wp] — one batch element's padded M
+    out_ref:  [1, 2, bh, Wp]
+    """
+    i = pl.program_id(1)
+    r0 = i * bh  # buf rows [r0, r0 + bh + 2*_PAD8); 8-aligned by bh % 8 == 0
+    rows = bh + 2 * _PAD8
+    planes = [mpad_ref[0, c, pl.ds(r0, rows), :] for c in range(_C)]
+    u, v = blur_solve_rows(planes, bh, w_valid, winsize)
+    out_ref[0, 0] = u
+    out_ref[0, 1] = v
 
 
 @functools.partial(jax.jit,

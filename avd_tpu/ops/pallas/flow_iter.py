@@ -180,32 +180,13 @@ def _kernel(flowp_ref, r0p_ref, r1p_ref, out_ref,
     m_ref[4] = r6 * r2 + r5 * r3          # h2
 
     # ---- 15×15 box mean (replicate edges) + 2×2 solve ----------------
-    half = (winsize - 1) // 2
-    col = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1)
-    inv_area = 1.0 / float(winsize * winsize)
-    blurred = []
-    for c in range(_C):
-        v = m_ref[c]
-        left = v[:, 0:1]
-        right = v[:, w_valid - 1:w_valid]
-        hacc = v
-        for s in range(-half, half + 1):
-            if s == 0:
-                continue
-            sh = pltpu.roll(v, (-s) % wp, 1)
-            src = col + s
-            sh = jnp.where(src < 0, left,
-                           jnp.where(src > w_valid - 1, right, sh))
-            hacc = hacc + sh
-        vacc = hacc[_PAD8 - half:_PAD8 - half + bh]
-        for j in range(1, winsize):
-            vacc = vacc + hacc[_PAD8 - half + j:_PAD8 - half + j + bh]
-        blurred.append(vacc * inv_area)
-
-    g11, g12, g22, h1, h2 = blurred
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    out_ref[0, 0] = (g22 * h1 - g12 * h2) * idet
-    out_ref[0, 1] = (g11 * h2 - g12 * h1) * idet
+    # shared body with ops/pallas/blur_solve.py (single source for the
+    # edge-mask / halo-slice math)
+    from avd_tpu.ops.pallas.blur_solve import blur_solve_rows
+    planes = [m_ref[c] for c in range(_C)]
+    u, v = blur_solve_rows(planes, bh, w_valid, winsize)
+    out_ref[0, 0] = u
+    out_ref[0, 1] = v
 
 
 def prepare_fields(R0: jnp.ndarray, R1: jnp.ndarray,

@@ -165,16 +165,6 @@ def _compiled_chunk(n_frames: int, h: int, w: int):
 
 
 @functools.lru_cache(maxsize=4)
-def _compiled_prep_chunk(n_frames: int):
-    """jit program over pre-resized windows — one shape for every video
-    resolution."""
-    import jax
-    from avd_tpu.utils import jaxtools
-    jaxtools.setup()
-    return jax.jit(_prep_body)
-
-
-@functools.lru_cache(maxsize=4)
 def _compiled_prep_packed(n_frames: int):
     """Tunnel-friendly host-prep program: ONE uint8 input vector (the
     320×320 flow window and 32×32 hash window concatenated flat) and ONE
@@ -247,15 +237,6 @@ def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
     return jax.jit(jax.vmap(functools.partial(_feature_body, h=h, w=w)))
-
-
-@functools.lru_cache(maxsize=4)
-def _compiled_prep_stacked(m: int, n_frames: int):
-    """Stacked host-prep program: [m, N, 320, 320] + [m, N, 32, 32]."""
-    import jax
-    from avd_tpu.utils import jaxtools
-    jaxtools.setup()
-    return jax.jit(jax.vmap(_prep_body))
 
 
 @functools.lru_cache(maxsize=4)
@@ -424,10 +405,11 @@ def _host_prep(frames_bgr: np.ndarray):
         lc = rz.linear_matrix(gray.shape[2], _FLOW_SIZE, quantize=True)
         small320[:] = np.clip(np.round(
             np.einsum("nhw,oh,pw->nop", g, lr, lc)), 0, 255)
-        ar = rz.area_matrix(gray.shape[1], _HASH_SIZE)
-        ac = rz.area_matrix(gray.shape[2], _HASH_SIZE)
-        small32[:] = np.clip(np.round(
-            np.einsum("nhw,oh,pw->nop", g, ar, ac)), 0, 255)
+        if fused is None:  # keep the native pass's bit-exact area bins
+            ar = rz.area_matrix(gray.shape[1], _HASH_SIZE)
+            ac = rz.area_matrix(gray.shape[2], _HASH_SIZE)
+            small32[:] = np.clip(np.round(
+                np.einsum("nhw,oh,pw->nop", g, ar, ac)), 0, 255)
     if tex is None:
         tex = _lap_var_host(gray)
     return small320, small32, tex
@@ -529,9 +511,10 @@ def _compute_features_gated(feats: Dict, s320: np.ndarray,
     import jax.numpy as jnp
 
     n = s320.shape[0]
-    # average-hash Hamming on host (same formula as the device program)
-    m32 = s32.reshape(n, -1).astype(np.float32).mean(axis=1)
-    bits = s32.astype(np.float32) > m32[:, None, None]
+    # average-hash Hamming on host — float64 mean and >= exactly like the
+    # reference (video.py:4-8) and the device kernel (hashing.py)
+    m32 = s32.reshape(n, -1).astype(np.float64).mean(axis=1)
+    bits = s32.astype(np.float64) >= m32[:, None, None]
     ham = (bits[1:] ^ bits[:-1]).sum(axis=(1, 2)) if n > 1 else \
         np.zeros((0,), np.int64)
 
@@ -560,6 +543,7 @@ def _compute_features_gated(feats: Dict, s320: np.ndarray,
             fmean[take] = out[:take.size]
             fvar[take] = out[b:b + take.size]
             start += take.size
+        mark_device_warm()  # a real device program completed
 
     feats["skipped_pairs"] = int((n - 1) - dynamic.size) if n > 1 else 0
     return _assemble(feats, list(tex), ham.tolist(), fmean.tolist(),
@@ -597,8 +581,10 @@ def _cp_features(s320: np.ndarray, s32: np.ndarray):
     fn = _cp_fn(mesh)
     ham, fmean, fvar, _valid = fn(jnp.asarray(s320), jnp.asarray(s32))
     k = n - 1  # real consecutive pairs; padded rows are self-pairs
-    return (np.asarray(ham)[:k], np.asarray(fmean)[:k],
-            np.asarray(fvar)[:k])
+    out = (np.asarray(ham)[:k], np.asarray(fmean)[:k],
+           np.asarray(fvar)[:k])
+    mark_device_warm()  # a real device program completed
+    return out
 
 
 def compute_features(frames: np.ndarray) -> Dict:

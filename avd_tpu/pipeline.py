@@ -105,6 +105,9 @@ def _analyzer_timeout(cfg) -> float:
     fallback.  Serving warmup flips the warm flag at boot, so live
     requests keep the exact reference behavior."""
     base = float(cfg.request_timeout_s)
+    import os
+    if os.getenv("AVD_BACKEND", "jax") == "oracle":
+        return base  # no device programs → no load to amortize
     try:
         from avd_tpu.ops import video_features
         if not video_features.device_warmed():
