@@ -73,8 +73,14 @@ def mark_device_warm() -> None:
 def warm_device(log=None) -> None:
     """Execute every streaming window bucket's packed prep program once
     (zero input), so the remote program load happens HERE instead of
-    inside a timed analyzer call.  No-op when already warm or in
-    device-prep mode.  Serving warmup and the CLI entry both use this."""
+    inside a timed analyzer call.  Serving warmup and the CLI entry both
+    use this.
+
+    No-op when already warm — and in device-prep mode (AVD_PREP=device),
+    whose program shapes include the clip's full resolution and are
+    unknowable at boot; there the first request runs under the
+    cold-start grace and flips the warm flag when its program completes
+    (the streaming fetch path calls mark_device_warm)."""
     if _DEVICE_WARM or _prep_mode() != "host":
         return
     import jax.numpy as jnp
