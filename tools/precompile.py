@@ -38,7 +38,8 @@ def main() -> int:
         zero320 = np.zeros((full, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
         zero32 = np.zeros((full, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
         packed = vf._pack_prep_window(zero320, zero32)
-        for m in (1, 2, 4):
+        from avd_tpu.serve import batching
+        for m in batching._BUCKETS:  # the full warmup ladder incl. 8
             t0 = time.time()
             fm = vf._compiled_prep_stacked_packed(m, full)
             sp = np.broadcast_to(packed, (m,) + packed.shape)
