@@ -9,9 +9,10 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
+
+from avd_tpu.native._build import ensure_so
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -23,20 +24,13 @@ _SRC = os.path.join(_SRC_DIR, "avd_native.cc")
 _SO = os.path.join(_SRC_DIR, "libavd_native.so")
 
 
-def _build() -> bool:
-    try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-            return True
-        proc = subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
-             "-std=c++17", "-pthread", "-shared", "-o", _SO, _SRC],
-            capture_output=True, text=True, timeout=120)
-        if proc.returncode != 0:
-            return False
-        return True
-    except Exception:
-        return False
+def _cmd(out: str):
+    return ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+            "-std=c++17", "-pthread", "-shared", "-o", out, _SRC]
+
+
+def _build(force: bool = False) -> bool:
+    return ensure_so(_SRC, _SO, _cmd, timeout=120, force=force)
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -53,7 +47,14 @@ def lib() -> Optional[ctypes.CDLL]:
         try:
             L = ctypes.CDLL(_SO)
         except OSError:
-            return None
+            # Truncated/corrupt cached artifact (e.g. a killed compile):
+            # force one rebuild, then give up cleanly.
+            if not _build(force=True):
+                return None
+            try:
+                L = ctypes.CDLL(_SO)
+            except OSError:
+                return None
         L.avd_bgr_to_gray_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         L.avd_bgr_to_gray_u8.restype = None
@@ -71,10 +72,6 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int]
         L.avd_laplacian_var.restype = None
-        L.avd_gray_lap_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
-        L.avd_gray_lap_batch.restype = None
         L.avd_lap_area32_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
@@ -132,23 +129,6 @@ def wav_decode_mono(data: bytes):
     if rc != 0:
         return None
     return out, int(info.sample_rate)
-
-
-def gray_lap(frames_bgr):
-    """[N, H, W, 3] BGR uint8 → (gray [N,H,W] u8, lap_var [N] f64) in one
-    fused pass per frame; None if no lib."""
-    import numpy as np
-    L = lib()
-    if L is None:
-        return None
-    frames_bgr = np.ascontiguousarray(frames_bgr, np.uint8)
-    n, h, w, _ = frames_bgr.shape
-    gray = np.empty((n, h, w), np.uint8)
-    lap = np.empty(n, np.float64)
-    threads = min(os.cpu_count() or 1, 16)
-    L.avd_gray_lap_batch(frames_bgr.ctypes.data, n, h, w,
-                         gray.ctypes.data, lap.ctypes.data, threads)
-    return gray, lap
 
 
 def lap_area32(gray):
@@ -224,6 +204,8 @@ def laplacian_var(gray) -> Optional["np.ndarray"]:
         return None
     gray = np.ascontiguousarray(gray, np.uint8)
     n, h, w = gray.shape
+    if h < 1 or w < 1:
+        return None  # no pixels to stencil over
     out = np.empty(n, np.float64)
     threads = min(os.cpu_count() or 1, 16)
     L.avd_laplacian_var(gray.ctypes.data, n, h, w, out.ctypes.data, threads)

@@ -23,11 +23,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
+
+from avd_tpu.native._build import ensure_so
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -67,18 +68,13 @@ class ProbeInfoStruct(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
-    try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-            return True
-        proc = subprocess.run(
-            ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o", _SO,
-             _SRC] + _AV_LIBS,
-            capture_output=True, text=True, timeout=180)
-        return proc.returncode == 0
-    except Exception:
-        return False
+def _cmd(out: str):
+    return (["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o", out,
+             _SRC] + _AV_LIBS)
+
+
+def _build(force: bool = False) -> bool:
+    return ensure_so(_SRC, _SO, _cmd, timeout=180, force=force)
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -95,7 +91,13 @@ def lib() -> Optional[ctypes.CDLL]:
         try:
             L = ctypes.CDLL(_SO)
         except OSError:
-            return None
+            # Truncated/corrupt cached artifact: force one rebuild.
+            if not _build(force=True):
+                return None
+            try:
+                L = ctypes.CDLL(_SO)
+            except OSError:
+                return None
         L.avd_vdec_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                     ctypes.POINTER(MediaInfoStruct)]
         L.avd_vdec_open.restype = ctypes.c_void_p

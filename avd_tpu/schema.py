@@ -56,7 +56,23 @@ def _check(cond: bool, msg: str) -> None:
 
 
 def validate(resp: Dict[str, Any]) -> None:
-    """Raise SchemaError unless ``resp`` honors the reference contract."""
+    """Raise SchemaError unless ``resp`` honors the reference contract.
+
+    Structural surprises (wrong types, missing keys, nulls) surface as
+    SchemaError too — not bare TypeError/AttributeError — so callers get
+    the single documented exception for every invalid response.
+    """
+    try:
+        _validate(resp)
+    except SchemaError:
+        raise
+    except (TypeError, ValueError, AttributeError, KeyError,
+            IndexError) as e:
+        raise SchemaError(
+            f"malformed response: {type(e).__name__}: {e}") from e
+
+
+def _validate(resp: Dict[str, Any]) -> None:
     keys = list(resp.keys())
     _check(keys[:8] == ENVELOPE_KEYS,
            f"envelope key order {keys[:8]} != {ENVELOPE_KEYS}")
@@ -91,7 +107,11 @@ def validate(resp: Dict[str, Any]) -> None:
            "audio block incomplete")
     peaks = resp["peaks"]
     tl = len(resp["timeline_binned"])
-    _check(all(isinstance(i, int) and 0 <= i < max(tl, 1) for i in peaks),
+    # The reference's fused timeline is never empty (fusion.py:19
+    # `L = max(len(a_t), len(v_t), 1)`), so an empty binned timeline is a
+    # contract violation, and every peak must index a real bin.
+    _check(tl >= 1, "timeline_binned empty")
+    _check(all(isinstance(i, int) and 0 <= i < tl for i in peaks),
            "peaks outside timeline range")
 
     if "forensic" in resp:

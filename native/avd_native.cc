@@ -298,7 +298,10 @@ int avd_wav_info(const uint8_t* data, int64_t len, WavInfo* out) {
     if (std::memcmp(data + pos, "fmt ", 4) == 0 && pos + 8 + 16 <= len) {
       const uint8_t* f = data + pos + 8;
       out->format = rd_u16(f);
-      if (out->format == 0xFFFE && chunk_len >= 40)  // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the sub-format u16 lives at fmt+24; bound
+      // it against the actual buffer, not the header-declared chunk_len
+      // (a truncated upload can declare 40 while the file ends earlier).
+      if (out->format == 0xFFFE && chunk_len >= 40 && pos + 8 + 26 <= len)
         out->format = rd_u16(f + 24);
       out->channels = rd_u16(f + 2);
       out->sample_rate = static_cast<int32_t>(rd_u32(f + 4));
@@ -591,42 +594,6 @@ static inline void lap_row_dispatch(const uint8_t* up, const uint8_t* row,
   lap_row(up, row, dn, w, sum, sumsq);
 }
 
-void avd_gray_lap_frame(const uint8_t* bgr, int64_t h, int64_t w,
-                        uint8_t* gray, double* lap_var) {
-  // pass 1: grayscale rows (single sweep over the BGR data)
-  for (int64_t y = 0; y < h; ++y)
-    gray_row(bgr + y * w * 3, gray + y * w, w);
-  // pass 2: Laplacian over the (cache-warm) gray
-  int64_t sum = 0, sumsq = 0;
-  for (int64_t y = 0; y < h; ++y) {
-    const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
-    const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
-    lap_row_dispatch(up, gray + y * w, dn, w, &sum, &sumsq);
-  }
-  const double n = static_cast<double>(h) * w;
-  const double mean = sum / n;
-  *lap_var = sumsq / n - mean * mean;
-}
-
-void avd_gray_lap_batch(const uint8_t* bgr, int64_t n_frames, int64_t h,
-                        int64_t w, uint8_t* gray, double* lap_var,
-                        int n_threads) {
-  const int nt = std::max(1, std::min<int>(n_threads, 64));
-  auto work = [&](int t) {
-    for (int64_t i = t; i < n_frames; i += nt)
-      avd_gray_lap_frame(bgr + i * h * w * 3, h, w, gray + i * h * w,
-                         lap_var + i);
-  };
-  if (nt == 1 || n_frames == 1) {
-    work(0);
-    return;
-  }
-  std::vector<std::thread> workers;
-  workers.reserve(nt);
-  for (int t = 0; t < nt; ++t) workers.emplace_back(work, t);
-  for (auto& wkr : workers) wkr.join();
-}
-
 // ---------------------------------------------------------------------------
 // Laplacian texture variance per frame: cv2.Laplacian(gray, CV_64F).var()
 // semantics — ksize=1 stencil [[0,1,0],[1,-4,1],[0,1,0]], REFLECT_101
@@ -636,14 +603,16 @@ static double lap_var_one(const uint8_t* g, int64_t h, int64_t w) {
   double sum = 0.0, sumsq = 0.0;
   const int64_t n = h * w;
   for (int64_t y = 0; y < h; ++y) {
-    const int64_t yu = (y == 0) ? 1 : y - 1;          // reflect-101
-    const int64_t yd = (y == h - 1) ? h - 2 : y + 1;
+    // reflect-101; size-1 axes degrade to index 0 like cv2's
+    // borderInterpolate (len==1 special case) instead of reading OOB.
+    const int64_t yu = (y == 0) ? std::min<int64_t>(1, h - 1) : y - 1;
+    const int64_t yd = (y == h - 1) ? std::max<int64_t>(h - 2, 0) : y + 1;
     const uint8_t* rc = g + y * w;
     const uint8_t* ru = g + yu * w;
     const uint8_t* rd = g + yd * w;
     for (int64_t x = 0; x < w; ++x) {
-      const int64_t xl = (x == 0) ? 1 : x - 1;
-      const int64_t xr = (x == w - 1) ? w - 2 : x + 1;
+      const int64_t xl = (x == 0) ? std::min<int64_t>(1, w - 1) : x - 1;
+      const int64_t xr = (x == w - 1) ? std::max<int64_t>(w - 2, 0) : x + 1;
       const double lap = static_cast<double>(ru[x]) + rd[x] + rc[xl] +
                          rc[xr] - 4.0 * rc[x];
       sum += lap;

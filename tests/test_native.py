@@ -1,6 +1,8 @@
 """C++ host runtime: build, bit-exact gray conversion, WAV decode,
 resampler quality."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -133,3 +135,115 @@ def test_prep320_declines_non_downscale():
         is None
     assert native.prep320(rng.integers(0, 256, (1, 640, 100), np.uint8)) \
         is None
+
+
+def _wav_header(fmt_body: bytes, declared_len: int, data: bytes = b"") -> bytes:
+    """Assemble RIFF/WAVE bytes with an fmt chunk whose DECLARED length can
+    exceed the bytes actually present (truncated-upload shapes)."""
+    chunks = b"fmt " + declared_len.to_bytes(4, "little") + fmt_body
+    if data:
+        chunks += b"data" + len(data).to_bytes(4, "little") + data
+    riff = b"WAVE" + chunks
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def test_wav_truncated_extensible_fmt_rejected_safely():
+    """A fmt chunk declaring WAVE_FORMAT_EXTENSIBLE (0xFFFE, chunk_len 40)
+    but truncated before the sub-format u16 at fmt+24 must be rejected
+    without reading past the uploaded bytes (avd_native.cc wav_info)."""
+    body = bytearray(24)  # file ends 24 bytes into a declared-40 chunk
+    body[0:2] = (0xFFFE).to_bytes(2, "little")
+    body[2:4] = (1).to_bytes(2, "little")       # channels
+    body[4:8] = (16000).to_bytes(4, "little")   # sample rate
+    body[14:16] = (16).to_bytes(2, "little")    # bits
+    data = _wav_header(bytes(body), declared_len=40)
+    assert len(data) == 44  # minimum accepted size; fmt+24 is exactly OOB
+    assert native.wav_decode_mono(data) is None
+
+
+def test_wav_extensible_full_fmt_decodes():
+    """A well-formed WAVE_FORMAT_EXTENSIBLE (PCM sub-format) still decodes."""
+    body = bytearray(40)
+    body[0:2] = (0xFFFE).to_bytes(2, "little")
+    body[2:4] = (1).to_bytes(2, "little")
+    body[4:8] = (16000).to_bytes(4, "little")
+    body[8:12] = (32000).to_bytes(4, "little")  # byte rate
+    body[12:14] = (2).to_bytes(2, "little")     # block align
+    body[14:16] = (16).to_bytes(2, "little")
+    body[16:18] = (22).to_bytes(2, "little")    # cbSize
+    body[18:20] = (16).to_bytes(2, "little")    # valid bits
+    body[24:26] = (1).to_bytes(2, "little")     # sub-format: PCM
+    pcm = (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2")
+    decoded = native.wav_decode_mono(
+        _wav_header(bytes(body), declared_len=40, data=pcm.tobytes()))
+    assert decoded is not None
+    out, sr = decoded
+    assert sr == 16000
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+
+def test_laplacian_var_degenerate_dims_safe():
+    """1-pixel-high/wide frames (decodable degenerate uploads) must not
+    read out of bounds; semantics match numpy 'reflect' padding, which
+    equals cv2 REFLECT_101 for len>=2 and its len==1 edge special-case."""
+    rng = np.random.default_rng(21)
+
+    def ref_var(g):
+        p = np.pad(g.astype(np.float64), 1, mode="reflect")
+        lap = (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
+               - 4.0 * p[1:-1, 1:-1])
+        return lap.var()
+
+    for shape in [(3, 1, 64), (3, 64, 1), (2, 1, 1), (2, 2, 2)]:
+        gray = rng.integers(0, 256, shape, np.uint8)
+        out = native.laplacian_var(gray)
+        assert out is not None and np.all(np.isfinite(out))
+        for i in range(shape[0]):
+            assert abs(out[i] - ref_var(gray[i])) < 1e-9 * max(
+                1.0, ref_var(gray[i]))
+    # zero-pixel frames decline cleanly instead of dividing by zero
+    assert native.laplacian_var(np.zeros((1, 0, 5), np.uint8)) is None
+
+
+def test_ensure_so_atomic_and_sourceless(tmp_path):
+    import ctypes as ct
+    import importlib
+    # the package's _build() function shadows the submodule on attribute
+    # access, so resolve the module explicitly
+    bld = importlib.import_module("avd_tpu.native._build")
+
+    src = tmp_path / "s.cc"
+    src.write_text('extern "C" int avd_answer() { return 42; }\n')
+    so = str(tmp_path / "out.so")
+
+    def cmd(out):
+        return ["g++", "-shared", "-fPIC", "-o", out, str(src)]
+
+    # failed compile leaves NO artifact at the output path (atomicity)
+    bad_src = tmp_path / "bad.cc"
+    bad_src.write_text("this is not C++")
+    assert not bld.ensure_so(str(bad_src), so,
+                             lambda o: ["g++", "-shared", "-fPIC", "-o", o,
+                                        str(bad_src)], 60)
+    assert not os.path.exists(so)
+
+    assert bld.ensure_so(str(src), so, cmd, 60)
+    assert os.path.exists(so)
+
+    # corrupt artifact + force=True → rebuilt loadable library (load only
+    # the final artifact: dlopening then overwriting the mapped file
+    # in-place would SIGBUS the process, which is exactly the failure
+    # mode the loaders' rebuild-on-OSError path exists to avoid)
+    with open(so, "wb") as f:
+        f.write(b"garbage not elf")
+    with pytest.raises(OSError):
+        ct.CDLL(so)
+    assert bld.ensure_so(str(src), so, cmd, 60, force=True)
+    assert ct.CDLL(so).avd_answer() == 42
+
+    # prebuilt .so without source is accepted as a candidate ...
+    src.unlink()
+    assert bld.ensure_so(str(src), so, cmd, 60)
+    # ... but nothing to build from when both are missing
+    assert not bld.ensure_so(str(src), str(tmp_path / "none.so"), cmd, 60)
