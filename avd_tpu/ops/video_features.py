@@ -201,16 +201,19 @@ _FETCH_GROUP = 4  # packed windows fetched per D2H round trip
 
 @functools.lru_cache(maxsize=1)
 def _dispatch_pool():
-    """Single-worker executor that owns the H2D put + device dispatch.
+    """Executor that owns the H2D put + device dispatch.
 
     Shipping one packed 49-frame window over the axon tunnel costs
     ~145 ms (~5 MB at 30-40 MB/s) and blocks the calling thread; moving
     the put off the streaming thread lets decode + host prep of chunk
-    k+1 overlap the transfer of chunk k.  One worker keeps device calls
-    ordered (and the tunnel is serial anyway)."""
+    k+1 overlap the transfer of chunk k.  Result order is carried by the
+    caller's future list, so workers > 1 stays correct; 2 workers lets
+    the host-side buffer serialization of put k+1 overlap the network
+    send of put k (AVD_DISPATCH_WORKERS to override)."""
     import concurrent.futures
+    workers = int(os.getenv("AVD_DISPATCH_WORKERS", "2"))
     return concurrent.futures.ThreadPoolExecutor(
-        max_workers=1, thread_name_prefix="avd-dispatch")
+        max_workers=max(1, workers), thread_name_prefix="avd-dispatch")
 
 
 @functools.lru_cache(maxsize=4)
