@@ -23,8 +23,8 @@ serve:
 	python -m avd_tpu.serve.master
 
 native:
-	$(MAKE) -C native
+	$(MAKE) -C avd_tpu/native/src
 
 clean:
-	$(MAKE) -C native clean
+	$(MAKE) -C avd_tpu/native/src clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true

@@ -7,7 +7,7 @@ temp WAV and reads it with libsndfile as float32
 1. ``ffmpeg`` subprocess → raw s16le pipe (no temp file, no libsndfile) when
    the binary exists; sample values are bit-identical to the reference's
    WAV-roundtrip path (s16 / 32768 → float32).
-2. Native libav* extraction (native/avd_decode.cc): the same
+2. Native libav* extraction (avd_tpu/native/src/avd_decode.cc): the same
    libavcodec + libswresample pipeline the ffmpeg CLI wraps, linked
    directly — covers mp4/AAC/any-container audio on hosts without the
    binary.

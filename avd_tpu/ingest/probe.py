@@ -129,7 +129,7 @@ def _probe_cv2(path: str) -> Dict[str, Any]:
 
 
 def _probe_native(path: str) -> Dict[str, Any] | None:
-    """libavformat probe (native/avd_decode.cc) — the same fields ffprobe
+    """libavformat probe (avd_tpu/native/src/avd_decode.cc) — the same fields ffprobe
     reports, read through the library the CLI wraps; None when the native
     feeder is unavailable."""
     try:

@@ -44,7 +44,7 @@ def open_capture(path: str):
 
 
 def _native_sampler(path: str, meta: dict):
-    """Open the libav* GOP-skipping feeder (native/avd_decode.cc) when
+    """Open the libav* GOP-skipping feeder (avd_tpu/native/src/avd_decode.cc) when
     available and usable for this stream; None → cv2 fallback paths.
 
     The feeder produces bit-exact frames (same libavcodec decode + swscale

@@ -1,4 +1,4 @@
-"""ctypes loader for the C++ host runtime (native/avd_native.cc).
+"""ctypes loader for the C++ host runtime (avd_tpu/native/src/avd_native.cc).
 
 Builds lazily with g++ on first use (cached next to the sources and keyed
 by source mtime); every caller must handle ``lib() is None`` — the
@@ -12,16 +12,14 @@ import os
 import threading
 from typing import Optional
 
-from avd_tpu.native._build import ensure_so
+from avd_tpu.native._build import SRC_DIR, ensure_so, so_site
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_SRC_DIR, "avd_native.cc")
-_SO = os.path.join(_SRC_DIR, "libavd_native.so")
+_SRC = os.path.join(SRC_DIR, "avd_native.cc")
+_SO = so_site("libavd_native.so")
 
 
 def _cmd(out: str):

@@ -20,6 +20,37 @@ import os
 import subprocess
 from typing import Callable, List
 
+SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+
+
+def so_site(name: str) -> str:
+    """Where the built .so for ``name`` lives.
+
+    Dev checkout: next to the sources (shared by every process, warm
+    across test runs).  Installed package (read-only site-packages): a
+    fresh prebuilt artifact beside the sources is still honored,
+    otherwise builds land in a per-user cache dir
+    (``AVD_NATIVE_CACHE``, default ``~/.cache/avd_tpu_native``)."""
+    beside = os.path.join(SRC_DIR, name)
+    src = os.path.join(SRC_DIR, name.replace("lib", "", 1)
+                       .replace(".so", ".cc"))
+    try:
+        if os.access(SRC_DIR, os.W_OK):
+            return beside
+        if os.path.exists(beside) and (
+                not os.path.exists(src)
+                or os.path.getmtime(beside) >= os.path.getmtime(src)):
+            return beside
+    except OSError:
+        pass
+    d = os.getenv("AVD_NATIVE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "avd_tpu_native")
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return beside  # last resort; ensure_so will fail cleanly
+    return os.path.join(d, name)
+
 
 def ensure_so(src: str, so: str, cmd_for: Callable[[str], List[str]],
               timeout: float, force: bool = False) -> bool:

@@ -1,4 +1,4 @@
-"""ctypes loader for the libav* media feeder (native/avd_decode.cc).
+"""ctypes loader for the libav* media feeder (avd_tpu/native/src/avd_decode.cc).
 
 Separate from the main host-kernel library because it links against the
 system libavformat/libavcodec/libswscale/libswresample — deployments
@@ -28,16 +28,14 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from avd_tpu.native._build import ensure_so
+from avd_tpu.native._build import SRC_DIR, ensure_so, so_site
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_SRC_DIR, "avd_decode.cc")
-_SO = os.path.join(_SRC_DIR, "libavd_decode.so")
+_SRC = os.path.join(SRC_DIR, "avd_decode.cc")
+_SO = so_site("libavd_decode.so")
 
 _AV_LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale",
             "-lswresample"]

@@ -14,7 +14,7 @@ Two preprocessing placements (``AVD_PREP``):
     The host performs the *reference's own* cheap cv2 ops — grayscale,
     320×320 INTER_LINEAR, 32×32 INTER_AREA (bit-identical to
     video.py:5,43) — plus the Laplacian variance in threaded C++
-    (native/avd_native.cc, cv2 CV_64F semantics).  Only ~105 KB/frame
+    (avd_tpu/native/src/avd_native.cc, cv2 CV_64F semantics).  Only ~105 KB/frame
     ships to the device, which runs the one genuinely expensive stage:
     batched Farnebäck flow over all pairs.  A single device program shape
     serves every video resolution.

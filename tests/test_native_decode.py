@@ -1,4 +1,4 @@
-"""libav* media feeder (native/avd_decode.cc) — bit-exactness vs the cv2
+"""libav* media feeder (avd_tpu/native/src/avd_decode.cc) — bit-exactness vs the cv2
 walk, GOP-skip correctness, and the audio extraction path.
 
 The feeder must produce EXACTLY the frames the reference's decode loop
