@@ -462,6 +462,11 @@ class ThreadingHTTPServer(socketserver.ThreadingMixIn,
                           socketserver.TCPServer):
     daemon_threads = True
     allow_reuse_address = True
+    # socketserver's default listen backlog is 5; a burst of concurrent
+    # clients overflows the accept queue and the kernel RSTs the excess
+    # mid-request (observed as client-side ECONNRESET under the stress
+    # suite).  The reference's uvicorn listens with backlog 2048.
+    request_queue_size = 2048
     # Drain: daemon handler threads are NOT tracked by socketserver's
     # _Threads (it skips daemons), so server_close() alone would return
     # with requests still in flight and a worker's sys.exit would kill
