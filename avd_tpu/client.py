@@ -1,0 +1,333 @@
+"""Python client for the avd_tpu HTTP service (stdlib-only).
+
+The reference exposes its service over bare HTTP and documents curl
+invocations only (/root/reference/README.md:9-24); this module gives
+framework users a typed client for the same surface — the upload routes
+(`POST /analyze`, `/predict`, api.py:235-253), the URL route
+(`POST /analyze-url`, api.py:255-266) and the health/metrics endpoints —
+so switching a reference deployment to avd_tpu needs no hand-rolled
+multipart code.
+
+No third-party dependencies: multipart bodies are framed by hand and
+sent over ``http.client`` with a streaming file reader (uploads are never
+buffered whole in memory).
+
+Example::
+
+    from avd_tpu.client import Client
+    c = Client("http://127.0.0.1:8000")
+    res = c.analyze("clip.mp4")
+    print(res.label, res.ai_score, res.confidence)
+"""
+
+from __future__ import annotations
+
+import http.client
+import io
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, BinaryIO, Dict, Iterator, Optional, Tuple
+
+_CHUNK = 1 << 20  # streaming upload chunk (matches the server's 1 MiB spool)
+
+
+class ClientError(Exception):
+    """Transport-level failure (connection refused, timeout, bad JSON)."""
+
+
+class APIError(ClientError):
+    """Non-2xx response from the service, carrying the decoded detail —
+    e.g. the 413 ``{"error": "File troppo grande", "limit_bytes": …}``
+    contract from api.py:101-102."""
+
+    def __init__(self, status: int, detail: Any):
+        self.status = status
+        self.detail = detail
+        super().__init__(f"HTTP {status}: {detail}")
+
+
+@dataclass
+class AnalysisResult:
+    """Typed view over the reference-shaped response envelope
+    (api.py:151-166).  ``raw`` always holds the full JSON dict."""
+
+    raw: Dict[str, Any]
+
+    @property
+    def ok(self) -> bool:
+        return bool(self.raw.get("ok"))
+
+    @property
+    def result(self) -> Dict[str, Any]:
+        return self.raw.get("result") or {}
+
+    @property
+    def ai_score(self) -> float:
+        return float(self.result.get("ai_score", 0.0))
+
+    @property
+    def confidence(self) -> float:
+        return float(self.result.get("confidence", 0.0))
+
+    @property
+    def label(self) -> str:
+        return str(self.result.get("label", ""))
+
+    @property
+    def reason(self) -> str:
+        return str(self.result.get("reason", ""))
+
+    @property
+    def timeline(self) -> list:
+        return list(self.raw.get("timeline_binned") or [])
+
+    @property
+    def peaks(self) -> list:
+        return list(self.raw.get("peaks") or [])
+
+    @property
+    def meta(self) -> Dict[str, Any]:
+        return self.raw.get("meta") or {}
+
+    @property
+    def hints(self) -> Dict[str, Any]:
+        return self.raw.get("hints") or {}
+
+    @property
+    def forensic(self) -> Optional[Dict[str, Any]]:
+        return self.raw.get("forensic")
+
+
+class _MultipartStream:
+    """Iterator of body chunks for one file part + optional form fields,
+    with a precomputed Content-Length so keep-alive framing stays exact."""
+
+    def __init__(self, fields: Dict[str, str],
+                 file_part: Optional[Tuple[str, str, BinaryIO, int]]):
+        self.boundary = "avdclient" + uuid.uuid4().hex
+        self._fields = fields
+        self._file = file_part  # (name, filename, fh, size)
+
+    def _preamble(self) -> bytes:
+        out = io.BytesIO()
+        for name, value in self._fields.items():
+            out.write(
+                f"--{self.boundary}\r\nContent-Disposition: form-data; "
+                f"name=\"{name}\"\r\n\r\n{value}\r\n".encode())
+        if self._file is not None:
+            name, filename, _, _ = self._file
+            out.write(
+                f"--{self.boundary}\r\nContent-Disposition: form-data; "
+                f"name=\"{name}\"; filename=\"{filename}\"\r\n"
+                f"Content-Type: application/octet-stream\r\n\r\n".encode())
+        return out.getvalue()
+
+    def _epilogue(self) -> bytes:
+        tail = b"\r\n" if self._file is not None else b""
+        return tail + f"--{self.boundary}--\r\n".encode()
+
+    @property
+    def content_length(self) -> int:
+        n = len(self._preamble()) + len(self._epilogue())
+        if self._file is not None:
+            n += self._file[3]
+        return n
+
+    def chunks(self) -> Iterator[bytes]:
+        yield self._preamble()
+        if self._file is not None:
+            fh = self._file[2]
+            while True:
+                chunk = fh.read(_CHUNK)
+                if not chunk:
+                    break
+                yield chunk
+        yield self._epilogue()
+
+
+class Client:
+    """Synchronous client for one avd_tpu (or reference) service instance.
+
+    ``retries`` applies to idempotent GETs and to connection-setup
+    failures on POSTs (the request was never received); a POST whose
+    body started flowing is never retried automatically — analysis is
+    expensive and the caller should decide.
+    """
+
+    def __init__(self, base_url: str = "http://127.0.0.1:8000",
+                 timeout: float = 300.0, retries: int = 2,
+                 backoff_s: float = 0.5):
+        if "://" not in base_url:  # tolerate bare "host:port"
+            base_url = "http://" + base_url
+        u = urllib.parse.urlsplit(base_url)
+        if u.scheme != "http":
+            raise ValueError(f"unsupported scheme: {u.scheme!r} "
+                             "(the service speaks plain HTTP; run TLS "
+                             "termination in front, as the reference's "
+                             "Render deployment does)")
+        self.host, _, port = u.netloc.partition(":")
+        self.port = int(port or 80)
+        self.prefix = u.path.rstrip("/")
+        self.timeout = timeout
+        self.retries = max(0, retries)
+        self.backoff_s = backoff_s
+
+    # -- transport ---------------------------------------------------------
+
+    def _connect(self) -> http.client.HTTPConnection:
+        return http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+
+    def _decode(self, resp) -> Any:
+        data = resp.read()
+        ctype = resp.getheader("Content-Type", "")
+        if "application/json" in ctype:
+            try:
+                return json.loads(data)
+            except ValueError as e:
+                raise ClientError(f"invalid JSON from service: {e}")
+        return data.decode("utf-8", "ignore")
+
+    def _finish(self, resp) -> Any:
+        body = self._decode(resp)
+        if not (200 <= resp.status < 300):
+            raise APIError(resp.status, body)
+        return body
+
+    def _get(self, path: str) -> Any:
+        last: Optional[Exception] = None
+        for attempt in range(self.retries + 1):
+            try:
+                conn = self._connect()
+                try:
+                    conn.request("GET", self.prefix + path)
+                    return self._finish(conn.getresponse())
+                finally:
+                    conn.close()
+            except APIError:
+                raise
+            except OSError as e:
+                last = e
+                if attempt < self.retries:
+                    time.sleep(self.backoff_s * (2 ** attempt))
+        raise ClientError(f"GET {path} failed: {last}")
+
+    def _post_stream(self, path: str, stream: _MultipartStream) -> Any:
+        conn = self._connect()
+        try:
+            conn.putrequest("POST", self.prefix + path)
+            conn.putheader("Content-Type",
+                           f"multipart/form-data; boundary={stream.boundary}")
+            conn.putheader("Content-Length", str(stream.content_length))
+            conn.endheaders()
+            for chunk in stream.chunks():
+                conn.send(chunk)
+            return self._finish(conn.getresponse())
+        except APIError:
+            raise
+        except OSError as e:
+            raise ClientError(f"POST {path} failed: {e}")
+        finally:
+            conn.close()
+
+    def _post_form(self, path: str, fields: Dict[str, str]) -> Any:
+        body = urllib.parse.urlencode(fields).encode()
+        conn = self._connect()
+        try:
+            conn.request("POST", self.prefix + path, body=body, headers={
+                "Content-Type": "application/x-www-form-urlencoded"})
+            return self._finish(conn.getresponse())
+        except APIError:
+            raise
+        except OSError as e:
+            raise ClientError(f"POST {path} failed: {e}")
+        finally:
+            conn.close()
+
+    # -- service endpoints --------------------------------------------------
+
+    def health(self) -> Dict[str, Any]:
+        """GET /healthz (api.py:217-219)."""
+        return self._get("/healthz")
+
+    def ready(self) -> Dict[str, Any]:
+        """GET /readyz — dependency + TPU device health."""
+        return self._get("/readyz")
+
+    def info(self) -> Dict[str, Any]:
+        """GET / — service name + version (api.py:213-215)."""
+        return self._get("/")
+
+    def metrics(self) -> Dict[str, Any]:
+        """GET /metrics — process counters (avd_tpu addition)."""
+        return self._get("/metrics")
+
+    def wait_ready(self, timeout_s: float = 600.0,
+                   poll_s: float = 2.0) -> Dict[str, Any]:
+        """Poll /readyz until it answers ok (worker boot + device warmup
+        can take minutes on a cold compile cache)."""
+        deadline = time.monotonic() + timeout_s
+        last: Optional[Exception] = None
+        while time.monotonic() < deadline:
+            try:
+                out = self.ready()
+                if out.get("ok"):
+                    return out
+            except ClientError as e:
+                last = e
+            time.sleep(poll_s)
+        raise ClientError(f"service not ready after {timeout_s:.0f}s: {last}")
+
+    def analyze(self, path_or_file, filename: Optional[str] = None,
+                ) -> AnalysisResult:
+        """POST /analyze with a streamed multipart upload (api.py:235-245).
+
+        Accepts a filesystem path or an open binary file object (the
+        latter must be seekable so Content-Length can be computed).
+        """
+        fh, name, size, close = self._open(path_or_file, filename)
+        try:
+            stream = _MultipartStream({}, ("file", name, fh, size))
+            return AnalysisResult(self._post_stream("/analyze", stream))
+        finally:
+            if close:
+                fh.close()
+
+    def analyze_url(self, url: str) -> AnalysisResult:
+        """POST /analyze-url (api.py:255-266)."""
+        return AnalysisResult(self._post_form("/analyze-url", {"url": url}))
+
+    def predict(self, path_or_file=None, url: Optional[str] = None,
+                filename: Optional[str] = None) -> AnalysisResult:
+        """POST /predict — the back-compat dispatcher (api.py:247-253)."""
+        if path_or_file is not None:
+            fh, name, size, close = self._open(path_or_file, filename)
+            try:
+                fields = {"url": url} if url else {}
+                stream = _MultipartStream(fields, ("file", name, fh, size))
+                return AnalysisResult(self._post_stream("/predict", stream))
+            finally:
+                if close:
+                    fh.close()
+        if url:
+            return AnalysisResult(self._post_form("/predict", {"url": url}))
+        raise ValueError("predict() needs a file or a url")
+
+    @staticmethod
+    def _open(path_or_file, filename: Optional[str]
+              ) -> Tuple[BinaryIO, str, int, bool]:
+        if isinstance(path_or_file, (str, os.PathLike)):
+            fh = open(path_or_file, "rb")
+            name = filename or os.path.basename(str(path_or_file))
+            size = os.fstat(fh.fileno()).st_size
+            return fh, name, size, True
+        fh = path_or_file
+        pos = fh.tell()
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell() - pos
+        fh.seek(pos)
+        return fh, filename or "upload.bin", size, False
