@@ -317,6 +317,32 @@ class Client:
             return AnalysisResult(self._post_form("/predict", {"url": url}))
         raise ValueError("predict() needs a file or a url")
 
+    def analyze_many(self, paths, workers: int = 4):
+        """Concurrent fan-out over ``paths`` (order preserved): returns a
+        list of ``(path, AnalysisResult | Exception)``.
+
+        Each call uses its own connection, so ``workers`` uploads run in
+        parallel; on the server side concurrent requests land in the
+        cross-request batcher (serve/batching.py) and share stacked
+        device programs — client fan-out and server batching compose.
+        Per-file failures are returned, not raised, so one bad clip
+        doesn't abort a fleet sweep.
+        """
+        import concurrent.futures as cf
+
+        paths = list(paths)
+        out = [None] * len(paths)
+
+        def one(i: int) -> None:
+            try:
+                out[i] = (paths[i], self.analyze(paths[i]))
+            except Exception as e:  # recorded per-file, sweep continues
+                out[i] = (paths[i], e)
+
+        with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            list(ex.map(one, range(len(paths))))
+        return out
+
     @staticmethod
     def _open(path_or_file, filename: Optional[str]
               ) -> Tuple[BinaryIO, str, int, bool]:
@@ -331,3 +357,96 @@ class Client:
         size = fh.tell() - pos
         fh.seek(pos)
         return fh, filename or "upload.bin", size, False
+
+
+def main(argv=None) -> int:
+    """``avd-client`` — drive a (remote) avd_tpu or reference service.
+
+    Subcommands mirror the service surface: ``health`` / ``ready`` /
+    ``metrics`` / ``analyze PATH... [--jsonl] [--workers N]`` /
+    ``analyze-url URL``.  ``analyze`` with several paths (or a
+    directory) streams one ``{"path", "response"|"error"}`` JSON line
+    per clip — the remote twin of ``avd-analyze --jsonl``.
+    """
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(
+        prog="avd-client",
+        description="client for an avd_tpu (or reference) service")
+    ap.add_argument("base_url", help="service base URL, e.g. host:8000")
+    ap.add_argument("--timeout", type=float, default=300.0)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("health", "ready", "metrics", "info"):
+        sub.add_parser(name)
+    sub.add_parser("wait-ready").add_argument(
+        "--wait-timeout", type=float, default=600.0)
+    an = sub.add_parser("analyze")
+    an.add_argument("paths", nargs="+", metavar="path",
+                    help="files or directories (scanned one level)")
+    an.add_argument("--jsonl", action="store_true",
+                    help="one {path, response|error} JSON object per line")
+    an.add_argument("--workers", type=int, default=4,
+                    help="concurrent uploads in batch mode (default 4)")
+    an.add_argument("--indent", type=int, default=None)
+    au = sub.add_parser("analyze-url")
+    au.add_argument("url")
+    au.add_argument("--indent", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    c = Client(args.base_url, timeout=args.timeout)
+    try:
+        if args.cmd in ("health", "ready", "metrics", "info"):
+            out = {"health": c.health, "ready": c.ready,
+                   "metrics": c.metrics, "info": c.info}[args.cmd]()
+            json.dump(out, sys.stdout, indent=2)
+            sys.stdout.write("\n")
+            return 0
+        if args.cmd == "wait-ready":
+            json.dump(c.wait_ready(args.wait_timeout), sys.stdout, indent=2)
+            sys.stdout.write("\n")
+            return 0
+        if args.cmd == "analyze-url":
+            json.dump(c.analyze_url(args.url).raw, sys.stdout,
+                      indent=args.indent)
+            sys.stdout.write("\n")
+            return 0
+    except ClientError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    # analyze
+    from avd_tpu.analyze import _expand
+    files = list(_expand(args.paths))
+    if not files:
+        print("no analyzable files found", file=sys.stderr)
+        return 2
+    if len(files) > 1 and not args.jsonl:
+        ap.error("multiple inputs need --jsonl")
+
+    if not args.jsonl:
+        try:
+            res = c.analyze(files[0])
+        except ClientError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        json.dump(res.raw, sys.stdout, indent=args.indent)
+        sys.stdout.write("\n")
+        return 0
+
+    failed = 0
+    for path, res in c.analyze_many(files, workers=args.workers):
+        if isinstance(res, Exception):
+            failed += 1
+            line = {"path": path,
+                    "error": f"{res.__class__.__name__}: {res}"}
+        else:
+            line = {"path": path, "response": res.raw}
+        json.dump(line, sys.stdout)
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+    return 0 if failed == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -161,3 +161,50 @@ def test_json_contract_roundtrip(server, clip):
     raw = json.loads(json.dumps(res.raw))
     assert res.ai_score == raw["result"]["ai_score"]
     assert res.timeline == raw["timeline_binned"]
+
+
+def test_analyze_many_order_and_error_isolation(server, clip, tmp_path):
+    """Concurrent fan-out: order preserved, per-file failures returned
+    (not raised), good files still analyzed."""
+    missing = str(tmp_path / "missing.mp4")
+    c = Client(f"http://127.0.0.1:{server}")
+    out = c.analyze_many([clip, missing, clip], workers=3)
+    assert [p for p, _ in out] == [clip, missing, clip]
+    assert isinstance(out[0][1], AnalysisResult) and out[0][1].ok
+    assert isinstance(out[1][1], Exception)
+    assert isinstance(out[2][1], AnalysisResult)
+    assert out[0][1].ai_score == out[2][1].ai_score
+
+
+def _json_tail(out: str):
+    """Parse the CLI's JSON from captured stdout, skipping the
+    in-process server's access-log lines (stdout by design, mirroring
+    gunicorn's accesslog='-')."""
+    return json.loads(out[out.index("{"):])
+
+
+def test_cli_health_and_single(server, clip, capsys):
+    base = f"127.0.0.1:{server}"
+    assert client_mod.main([base, "health"]) == 0
+    assert _json_tail(capsys.readouterr().out)["ok"] is True
+    assert client_mod.main([base, "analyze", clip]) == 0
+    env = _json_tail(capsys.readouterr().out)
+    assert env["ok"] is True and "result" in env
+
+
+def test_cli_batch_jsonl_mixed(server, clip, tmp_path, capsys):
+    missing = str(tmp_path / "gone.mp4")
+    base = f"127.0.0.1:{server}"
+    rc = client_mod.main([base, "analyze", clip, missing,
+                          "--jsonl", "--workers", "2"])
+    assert rc == 1  # one failure recorded
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert [l["path"] for l in lines] == [clip, missing]
+    assert "response" in lines[0] and "error" in lines[1]
+
+
+def test_cli_transport_error_exit_code():
+    assert client_mod.main(["127.0.0.1:1", "--timeout", "0.5",
+                            "health"]) == 1
