@@ -8,7 +8,13 @@ Reproduced semantics:
   (gunicorn_conf.py:13-14) — guards against leaks on long-lived processes;
 * graceful shutdown window ``GUNICORN_GRACEFUL_TIMEOUT`` then SIGKILL;
 * dead workers are respawned (Gunicorn master behavior);
-* access/error logs to stdout (gunicorn_conf.py:16-17).
+* access/error logs to stdout (gunicorn_conf.py:16-17);
+* Gunicorn's runtime signal surface: ``SIGTTIN``/``SIGTTOU`` scale the
+  worker pool up/down one at a time (never below one; the retiring
+  worker drains while its siblings keep the SO_REUSEPORT accept group),
+  and ``SIGHUP`` reloads config and rolls every worker through the
+  zero-downtime recycle below — each replacement binds + warms before
+  its predecessor drains, so a HUP never gaps the service.
 
 Improvement over Gunicorn's recycle: ZERO-DOWNTIME recycling.  Gunicorn
 retires a worker at its request budget and only then boots the
@@ -91,10 +97,16 @@ def _warmup() -> None:
 def _worker_main(max_requests: int) -> None:
     """Child process: serve; at the request budget, ask the master for a
     zero-downtime replacement and keep serving until told to retire."""
-    # the master blocks its control signals; undo the inherited mask
+    # the master blocks its control signals; undo the inherited mask.
+    # HUP/TTIN/TTOU are master-level controls: ignore them here so a
+    # process-group-wide `kill -HUP` can't kill workers mid-request
+    # (the master rolls us gracefully instead).
+    for sig in (signal.SIGHUP, signal.SIGTTIN, signal.SIGTTOU):
+        signal.signal(sig, signal.SIG_IGN)
     signal.pthread_sigmask(
         signal.SIG_UNBLOCK,
         {signal.SIGTERM, signal.SIGINT, signal.SIGCHLD,
+         signal.SIGHUP, signal.SIGTTIN, signal.SIGTTOU,
          _SIG_RECYCLE, _SIG_READY})
 
     from avd_tpu.serve import app as app_mod
@@ -158,6 +170,9 @@ class Master:
         # retire once ready; workers awaiting retirement
         self.retire_for: dict[int, int] = {}
         self.retiring: set[int] = set()
+        # workers being retired by SIGTTOU scale-down (reap: no respawn)
+        self.scale_down: set[int] = set()
+        self.n_workers = max(1, self.cfg.workers)
         self.running = True
 
     def _budget(self) -> int:
@@ -202,13 +217,18 @@ class Master:
                       flush=True)
             if born is not None and time.time() - born < 2.0 \
                     and pid not in self.retiring \
+                    and pid not in self.scale_down \
                     and pid not in self.retire_for:
                 # crash within 2 s of spawn: back off so a persistent
                 # boot failure (e.g. squatted port) doesn't fork-storm
                 time.sleep(0.5)
             if not self.running:
                 continue
-            if pid in self.retire_for:
+            if pid in self.scale_down:
+                self.scale_down.discard(pid)
+                print(f"[master] worker {pid} retired (scale-down)",
+                      flush=True)
+            elif pid in self.retire_for:
                 # a replacement died before becoming ready: boot another
                 # for the same still-serving worker
                 old = self.retire_for.pop(pid)
@@ -239,15 +259,69 @@ class Master:
             except ProcessLookupError:
                 pass
 
+    def _scale_up(self) -> None:
+        """SIGTTIN (Gunicorn: increment worker count by one)."""
+        self.n_workers += 1
+        self.spawn()
+        print(f"[master] scale-up to {self.n_workers} workers", flush=True)
+
+    def _scale_down(self) -> None:
+        """SIGTTOU (Gunicorn: decrement worker count, never below one).
+        The oldest active worker drains and exits; its siblings keep the
+        SO_REUSEPORT accept group, so no request is dropped."""
+        if self.n_workers <= 1:
+            print("[master] scale-down ignored (already at 1 worker)",
+                  flush=True)
+            return
+        active = [p for p in self.workers
+                  if p not in self.retiring and p not in self.scale_down
+                  and p not in self.retire_for]
+        if not active:
+            return
+        victim = min(active, key=lambda p: self.workers[p])
+        self.n_workers -= 1
+        self.scale_down.add(victim)
+        try:
+            os.kill(victim, signal.SIGTERM)
+        except ProcessLookupError:
+            self.scale_down.discard(victim)
+        print(f"[master] scale-down to {self.n_workers} workers "
+              f"(retiring {victim})", flush=True)
+
+    def _rolling_restart(self) -> None:
+        """SIGHUP (Gunicorn: reload config + replace all workers).
+
+        Config is re-read and every active worker goes through the
+        zero-downtime recycle path — each replacement binds, warms, and
+        reports ready before its predecessor is told to drain, so the
+        service never gaps.  Workers import the application inside the
+        child after fork (the master itself never imports it), so a HUP
+        also picks up changed code and freshly trained detector
+        checkpoints from disk.
+        """
+        from avd_tpu import config as config_mod
+        config_mod.reset_config()
+        self.cfg = get_config()
+        rolled = 0
+        for pid in list(self.workers):
+            if (pid in self.retiring or pid in self.scale_down
+                    or pid in self.retire_for.values()):
+                continue
+            self._on_recycle_request(pid)
+            rolled += 1
+        print(f"[master] SIGHUP: config reloaded, rolling {rolled} "
+              "workers (zero-downtime)", flush=True)
+
     def run(self) -> int:
         cfg = self.cfg
         sigs = {signal.SIGTERM, signal.SIGINT, signal.SIGCHLD,
+                signal.SIGHUP, signal.SIGTTIN, signal.SIGTTOU,
                 _SIG_RECYCLE, _SIG_READY}
         # realtime signals queue per-sender (no coalescing) and
         # sigtimedwait exposes si_pid — that's the whole control plane
         signal.pthread_sigmask(signal.SIG_BLOCK, sigs)
 
-        for _ in range(max(1, cfg.workers)):
+        for _ in range(self.n_workers):
             self.spawn()
 
         while self.running:
@@ -259,6 +333,12 @@ class Master:
                 self.running = False
             elif info.si_signo == signal.SIGCHLD:
                 self._reap()
+            elif info.si_signo == signal.SIGHUP:
+                self._rolling_restart()
+            elif info.si_signo == signal.SIGTTIN:
+                self._scale_up()
+            elif info.si_signo == signal.SIGTTOU:
+                self._scale_down()
             elif info.si_signo == _SIG_RECYCLE:
                 self._on_recycle_request(info.si_pid)
             elif info.si_signo == _SIG_READY:

@@ -1,5 +1,6 @@
 """Pre-fork master: spawn, serve, recycle after max_requests, graceful
-shutdown (gunicorn_conf.py semantics)."""
+shutdown, and Gunicorn's runtime signal surface (SIGTTIN/SIGTTOU scale,
+SIGHUP zero-downtime rolling restart) — gunicorn_conf.py semantics."""
 
 import http.client
 import json
@@ -10,6 +11,44 @@ import sys
 import time
 
 import pytest
+
+
+def _spawn_master(port, logfile, **env_over):
+    env = dict(os.environ)
+    env.update({
+        "GUNICORN_BIND": f"127.0.0.1:{port}",
+        "WEB_CONCURRENCY": "1",
+        "GUNICORN_MAX_REQUESTS": "0",
+        "GUNICORN_GRACEFUL_TIMEOUT": "5",
+        "AVD_BACKEND": "oracle",
+        "JAX_PLATFORMS": "cpu",
+    })
+    env.update(env_over)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "avd_tpu.serve.master"],
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=logfile, stderr=subprocess.STDOUT, text=True)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            status, _ = _get(port, "/healthz", timeout=1)
+            if status == 200:
+                return proc
+        except OSError:
+            time.sleep(0.3)
+    proc.terminate()
+    pytest.fail("master did not become ready")
+
+
+def _wait_log(path, needle, timeout=20):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        with open(path) as f:
+            text = f.read()
+        if needle in text:
+            return text
+        time.sleep(0.2)
+    pytest.fail(f"{needle!r} not seen in master log:\n{text}")
 
 
 def _get(port, path, timeout=5):
@@ -144,3 +183,96 @@ def test_zero_downtime_recycle():
             proc.kill()
     out = proc.stdout.read()
     assert "zero-downtime recycle" in out, out
+
+
+def test_sigttin_sigttou_scale(tmp_path):
+    """SIGTTIN adds a worker, SIGTTOU drains one (never below 1), and
+    the service stays available throughout (shared accept group)."""
+    port = 18474
+    log = tmp_path / "master.log"
+    with open(log, "w") as lf:
+        proc = _spawn_master(port, lf)
+        try:
+            proc.send_signal(signal.SIGTTIN)
+            _wait_log(log, "scale-up to 2 workers")
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                with open(log) as f:
+                    text = f.read()
+                if text.count("serving on") == 2:
+                    break
+                time.sleep(0.2)
+            assert text.count("serving on") == 2, text
+
+            proc.send_signal(signal.SIGTTOU)
+            _wait_log(log, "scale-down to 1 workers")
+            _wait_log(log, "retired (scale-down)")
+
+            proc.send_signal(signal.SIGTTOU)
+            _wait_log(log, "scale-down ignored (already at 1 worker)")
+
+            status, d = _get(port, "/healthz")
+            assert status == 200 and d["ok"]
+        finally:
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    assert proc.returncode == 0
+
+
+def test_sighup_rolling_restart(tmp_path):
+    """SIGHUP replaces every worker zero-downtime: new pids serve, old
+    pids retire through the recycle path, probes never hard-fail."""
+    port = 18475
+    log = tmp_path / "master.log"
+    with open(log, "w") as lf:
+        proc = _spawn_master(port, lf, WEB_CONCURRENCY="2")
+        try:
+            text = _wait_log(log, "serving on")
+            import re
+            before = set(re.findall(r"\[worker (\d+)\] serving on", text))
+            assert len(before) == 2
+
+            proc.send_signal(signal.SIGHUP)
+            # continuous availability probe while the roll happens
+            hard_failures = 0
+            for _ in range(40):
+                try:
+                    status, d = _get(port, "/healthz", timeout=5)
+                    assert status == 200 and d["ok"]
+                except OSError:
+                    try:
+                        status, d = _get(port, "/healthz", timeout=5)
+                        assert status == 200 and d["ok"]
+                    except OSError:
+                        hard_failures += 1
+                time.sleep(0.05)
+            assert hard_failures == 0
+
+            text = _wait_log(log, "SIGHUP: config reloaded, rolling 2 "
+                                  "workers (zero-downtime)")
+            # both original workers retired, two replacements serving
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                with open(log) as f:
+                    text = f.read()
+                retired = set(re.findall(
+                    r"\[master\] worker (\d+) retired \(zero-downtime",
+                    text))
+                if before <= retired:
+                    break
+                time.sleep(0.2)
+            assert before <= retired, text
+            after = set(re.findall(r"\[worker (\d+)\] serving on", text))
+            assert len(after - before) == 2
+            status, d = _get(port, "/healthz")
+            assert status == 200 and d["ok"]
+        finally:
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    assert proc.returncode == 0
