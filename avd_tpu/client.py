@@ -35,6 +35,14 @@ from typing import Any, BinaryIO, Dict, Iterator, Optional, Tuple
 _CHUNK = 1 << 20  # streaming upload chunk (matches the server's 1 MiB spool)
 
 
+def _quote_disposition(value: str) -> str:
+    """Escape a Content-Disposition parameter value (RFC 7578 §4.2:
+    percent-encode CR/LF/double-quote so a hostile filename can't inject
+    headers or break the multipart frame)."""
+    return (value.replace("%", "%25").replace("\r", "%0D")
+            .replace("\n", "%0A").replace('"', "%22"))
+
+
 class ClientError(Exception):
     """Transport-level failure (connection refused, timeout, bad JSON)."""
 
@@ -117,12 +125,14 @@ class _MultipartStream:
         for name, value in self._fields.items():
             out.write(
                 f"--{self.boundary}\r\nContent-Disposition: form-data; "
-                f"name=\"{name}\"\r\n\r\n{value}\r\n".encode())
+                f"name=\"{_quote_disposition(name)}\"\r\n\r\n"
+                f"{value}\r\n".encode())
         if self._file is not None:
             name, filename, _, _ = self._file
             out.write(
                 f"--{self.boundary}\r\nContent-Disposition: form-data; "
-                f"name=\"{name}\"; filename=\"{filename}\"\r\n"
+                f"name=\"{_quote_disposition(name)}\"; "
+                f"filename=\"{_quote_disposition(filename)}\"\r\n"
                 f"Content-Type: application/octet-stream\r\n\r\n".encode())
         return out.getvalue()
 
@@ -169,8 +179,12 @@ class Client:
                              "(the service speaks plain HTTP; run TLS "
                              "termination in front, as the reference's "
                              "Render deployment does)")
-        self.host, _, port = u.netloc.partition(":")
-        self.port = int(port or 80)
+        try:
+            port = u.port  # handles IPv6 literals and userinfo correctly
+        except ValueError:
+            raise ValueError(f"invalid port in base URL: {base_url!r}")
+        self.host = u.hostname or "127.0.0.1"
+        self.port = port or 80
         self.prefix = u.path.rstrip("/")
         self.timeout = timeout
         self.retries = max(0, retries)
@@ -181,6 +195,27 @@ class Client:
     def _connect(self) -> http.client.HTTPConnection:
         return http.client.HTTPConnection(self.host, self.port,
                                           timeout=self.timeout)
+
+    def _connect_retry(self, what: str) -> http.client.HTTPConnection:
+        """Establish the TCP connection with the retry/backoff policy.
+
+        Used by the POST paths: a connection-setup failure means the
+        request was never received, so retrying is safe (e.g. the brief
+        SO_REUSEPORT blackhole while a worker rolls); once connected,
+        failures are NOT retried — the analysis may already be running.
+        """
+        last: Optional[Exception] = None
+        for attempt in range(self.retries + 1):
+            conn = self._connect()
+            try:
+                conn.connect()
+                return conn
+            except OSError as e:
+                conn.close()
+                last = e
+                if attempt < self.retries:
+                    time.sleep(self.backoff_s * (2 ** attempt))
+        raise ClientError(f"{what}: connect failed: {last}")
 
     def _decode(self, resp) -> Any:
         data = resp.read()
@@ -210,14 +245,14 @@ class Client:
                     conn.close()
             except APIError:
                 raise
-            except OSError as e:
+            except (OSError, http.client.HTTPException) as e:
                 last = e
                 if attempt < self.retries:
                     time.sleep(self.backoff_s * (2 ** attempt))
-        raise ClientError(f"GET {path} failed: {last}")
+        raise ClientError(f"GET {path} failed: {last!r}")
 
     def _post_stream(self, path: str, stream: _MultipartStream) -> Any:
-        conn = self._connect()
+        conn = self._connect_retry(f"POST {path}")
         try:
             conn.putrequest("POST", self.prefix + path)
             conn.putheader("Content-Type",
@@ -229,22 +264,22 @@ class Client:
             return self._finish(conn.getresponse())
         except APIError:
             raise
-        except OSError as e:
-            raise ClientError(f"POST {path} failed: {e}")
+        except (OSError, http.client.HTTPException) as e:
+            raise ClientError(f"POST {path} failed: {e!r}")
         finally:
             conn.close()
 
     def _post_form(self, path: str, fields: Dict[str, str]) -> Any:
         body = urllib.parse.urlencode(fields).encode()
-        conn = self._connect()
+        conn = self._connect_retry(f"POST {path}")
         try:
             conn.request("POST", self.prefix + path, body=body, headers={
                 "Content-Type": "application/x-www-form-urlencoded"})
             return self._finish(conn.getresponse())
         except APIError:
             raise
-        except OSError as e:
-            raise ClientError(f"POST {path} failed: {e}")
+        except (OSError, http.client.HTTPException) as e:
+            raise ClientError(f"POST {path} failed: {e!r}")
         finally:
             conn.close()
 

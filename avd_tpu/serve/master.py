@@ -144,7 +144,22 @@ def _worker_main(max_requests: int) -> None:
 
     def term(_sig, _frm):
         import threading
-        threading.Thread(target=server.shutdown, daemon=True).start()
+
+        def stop():
+            # leave the SO_REUSEPORT accept group FIRST: closing the fd
+            # makes the kernel stop hashing new SYNs here immediately, so
+            # the reset window is only whatever was already sitting in
+            # this socket's accept queue (~nothing).  serve_forever
+            # tolerates the closed fd (accept -> OSError is swallowed by
+            # socketserver's _handle_request_noblock) until shutdown()
+            # stops the loop; server_close()'s second close is a no-op.
+            try:
+                server.socket.close()
+            except OSError:
+                pass
+            server.shutdown()
+
+        threading.Thread(target=stop, daemon=True).start()
 
     signal.signal(signal.SIGTERM, term)
     print(f"[worker {os.getpid()}] serving on {cfg.bind} "
@@ -246,7 +261,11 @@ class Master:
                 self.spawn()  # crash → respawn (Gunicorn behavior)
 
     def _on_recycle_request(self, pid: int) -> None:
+        # scale_down pids are already draining via SIGTERM — spawning a
+        # replacement for one would undo the operator's SIGTTOU and leak
+        # a retiring entry (the reap path for scale-down doesn't clean it)
         if (pid in self.workers and pid not in self.retiring
+                and pid not in self.scale_down
                 and pid not in self.retire_for.values()):
             self.retiring.add(pid)
             self.retire_for[self.spawn()] = pid
@@ -277,6 +296,10 @@ class Master:
                   if p not in self.retiring and p not in self.scale_down
                   and p not in self.retire_for]
         if not active:
+            # every worker is mid-recycle/roll — don't touch the pool
+            # state, but tell the operator the signal was dropped
+            print("[master] scale-down ignored (all workers mid-recycle; "
+                  "re-send SIGTTOU once the roll settles)", flush=True)
             return
         victim = min(active, key=lambda p: self.workers[p])
         self.n_workers -= 1
@@ -304,7 +327,13 @@ class Master:
         self.cfg = get_config()
         rolled = 0
         for pid in list(self.workers):
+            # skip workers already mid-transition: retiring olds, scale-down
+            # victims, still-booting replacements (retire_for KEYS — rolling
+            # one before it reports ready would orphan its roll-replacement
+            # if it crashes during warmup), and olds awaiting retirement
+            # (retire_for values)
             if (pid in self.retiring or pid in self.scale_down
+                    or pid in self.retire_for
                     or pid in self.retire_for.values()):
                 continue
             self._on_recycle_request(pid)

@@ -74,9 +74,9 @@ def test_analyze_file_object(server, clip):
     c = Client(f"http://127.0.0.1:{server}")
     with open(clip, "rb") as fh:
         res = c.analyze(fh, filename="clip.mp4")
+        # the client must not close a caller-owned handle
+        assert not fh.closed
     assert res.ok is True
-    # the client must not close or rewind-break a caller-owned handle
-    assert not fh.closed or True
 
 
 def test_predict_with_file(server, clip):
@@ -125,6 +125,65 @@ def test_base_url_forms():
     assert (c.host, c.port) == ("example.com", 80)
     with pytest.raises(ValueError):
         Client("https://example.com")
+
+
+def test_base_url_ipv6_and_userinfo():
+    c = Client("http://[::1]:8123")
+    assert (c.host, c.port) == ("::1", 8123)
+    c = Client("http://user@example.com:8123")
+    assert (c.host, c.port) == ("example.com", 8123)
+    with pytest.raises(ValueError):
+        Client("http://example.com:notaport")
+
+
+def test_disposition_filename_escaped():
+    # a hostile filename must not inject headers or break the frame
+    fh = io.BytesIO(b"data")
+    s = client_mod._MultipartStream({}, ("file", 'a "b"\r\n.mp4', fh, 4))
+    pre = s._preamble()
+    assert b'filename="a %22b%22%0D%0A.mp4"' in pre
+    # no raw CR/LF/quote survives inside the parameter value
+    start = pre.index(b'filename="') + len(b'filename="')
+    end = pre.index(b'"', start)
+    assert b"\r" not in pre[start:end] and b"\n" not in pre[start:end]
+
+
+def test_post_retries_connection_setup(server):
+    # the documented POST contract: connection-setup failures retry
+    # (the request was never received).  Bind a port, release it, and
+    # start the real server there only after a delay — the client's
+    # first connect is refused, a later retry lands, and the request
+    # completes (as an APIError, proving it reached the app).
+    import socket
+    import time as _time
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    application = app_mod.build_app()
+    srv_box = {}
+
+    def later():
+        _time.sleep(0.7)
+        srv = http_mod.make_server(application, "127.0.0.1", port)
+        srv_box["srv"] = srv
+        srv.serve_forever()
+
+    t = threading.Thread(target=later, daemon=True)
+    t.start()
+    try:
+        c = Client(f"http://127.0.0.1:{port}", timeout=10,
+                   retries=8, backoff_s=0.2)
+        with pytest.raises(APIError) as ei:
+            c._post_form("/predict", {})
+        assert ei.value.status == 422
+    finally:
+        deadline = _time.time() + 10
+        while "srv" not in srv_box and _time.time() < deadline:
+            _time.sleep(0.05)
+        if "srv" in srv_box:
+            srv_box["srv"].shutdown()
 
 
 def test_multipart_stream_content_length_exact():
