@@ -82,6 +82,10 @@ class Config:
     batch_window_ms: int = 0
     # Attach per-stage wall-time breakdown to responses when debug is set.
     profile: bool = False
+    # Per-worker analysis concurrency limit (uvicorn --limit-concurrency
+    # analogue): further analysis POSTs are shed with 503 + Retry-After
+    # before their upload is spooled.  0 disables (reference behavior).
+    max_inflight: int = 0
 
     @staticmethod
     def from_env() -> "Config":
@@ -107,6 +111,7 @@ class Config:
             log_level=os.getenv("GUNICORN_LOG_LEVEL", "info"),
             batch_window_ms=_env_int("AVD_BATCH_WINDOW_MS", 0),
             profile=_env_bool("AVD_PROFILE", False),
+            max_inflight=_env_int("AVD_MAX_INFLIGHT", 0),
         )
 
 

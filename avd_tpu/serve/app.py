@@ -48,6 +48,45 @@ def _too_large_detail():
             "limit_bytes": cfg.max_upload_bytes}
 
 
+class _AdmissionGate:
+    """Per-worker analysis-concurrency limit (AVD_MAX_INFLIGHT — the
+    uvicorn ``--limit-concurrency`` analogue the reference stack gets for
+    free).  When the worker already has ``limit`` analyses in flight,
+    further analysis POSTs are shed with 503 + ``Retry-After`` *before*
+    their upload is spooled to disk, so an overloaded worker spends no
+    decode/spool work on requests it can't serve within the timeout.
+    ``limit <= 0`` disables (reference behavior: unbounded).
+
+    Health/metrics GETs are never shed — load balancers and the master's
+    readiness logic must keep seeing the worker."""
+
+    def __init__(self, limit: int):
+        self.limit = limit
+        self._n = 0
+        import threading
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        if self.limit > 0:
+            with self._lock:
+                if self._n >= self.limit:
+                    from avd_tpu.utils.metrics import COUNTERS
+                    COUNTERS.inc("requests_shed")
+                    raise HTTPError(
+                        503,
+                        {"error": "Servizio sovraccarico, riprova",
+                         "inflight_limit": self.limit},
+                        headers={"Retry-After": "1"})
+                self._n += 1
+        return self
+
+    def __exit__(self, *exc):
+        if self.limit > 0:
+            with self._lock:
+                self._n -= 1
+        return False
+
+
 def _analyze_with_timeout(path: str, source_url=None, resolved_url=None):
     """Request-level timeout (api.py:241) on a daemon thread — a stuck
     analysis must not hold the connection (or process exit) hostage."""
@@ -66,6 +105,7 @@ def build_app(analyze_fn=None) -> App:
     cfg = get_config()
     app = App(allowed_origins=cfg.allowed_origins, debug=cfg.debug)
     run_analysis = analyze_fn or _analyze_with_timeout
+    gate = _AdmissionGate(cfg.max_inflight)
 
     @app.route("GET", "/")
     def root(req: Request) -> Response:
@@ -177,31 +217,34 @@ def build_app(analyze_fn=None) -> App:
 
     @app.route("POST", "/analyze")
     def analyze(req: Request) -> Response:
-        return _do_analyze(req)
+        with gate:
+            return _do_analyze(req)
 
     @app.route("POST", "/analyze-url")
     def analyze_url(req: Request) -> Response:
-        files, fields = parse_multipart_or_form(req)
-        for f in files.values():  # stray file parts must not leak spools
-            f.unlink()
-        return _do_analyze_url(fields.get("url", ""))
+        with gate:
+            files, fields = parse_multipart_or_form(req)
+            for f in files.values():  # stray file parts must not leak spools
+                f.unlink()
+            return _do_analyze_url(fields.get("url", ""))
 
     @app.route("POST", "/predict")
     def predict(req: Request) -> Response:
         """Back-compat dispatcher (api.py:247-253): file → analyze,
         url → analyze-url, neither → 422."""
-        files, fields = parse_multipart_or_form(req)
-        try:
-            up = files.get("file")
-            if up is not None:
-                return Response(run_analysis(up.path))
-            if fields.get("url"):
-                return _do_analyze_url(fields["url"])
-            raise HTTPError(422, {"error": "Nessun input",
-                                  "hint": "Invia 'file' oppure 'url'."})
-        finally:
-            for f in files.values():
-                f.unlink()
+        with gate:
+            files, fields = parse_multipart_or_form(req)
+            try:
+                up = files.get("file")
+                if up is not None:
+                    return Response(run_analysis(up.path))
+                if fields.get("url"):
+                    return _do_analyze_url(fields["url"])
+                raise HTTPError(422, {"error": "Nessun input",
+                                      "hint": "Invia 'file' oppure 'url'."})
+            finally:
+                for f in files.values():
+                    f.unlink()
 
     def parse_multipart_or_form(req: Request):
         ctype = req.headers.get("Content-Type", "")

@@ -21,12 +21,15 @@ from urllib.parse import parse_qs, urlparse
 
 
 class HTTPError(Exception):
-    """FastAPI-HTTPException equivalent: status + JSON detail."""
+    """FastAPI-HTTPException equivalent: status + JSON detail
+    (+ optional response headers, e.g. Retry-After on a 503)."""
 
-    def __init__(self, status: int, detail: Any):
+    def __init__(self, status: int, detail: Any,
+                 headers: Optional[Dict[str, str]] = None):
         super().__init__(str(detail))
         self.status = status
         self.detail = detail
+        self.headers = headers or {}
 
 
 class UploadedFile:
@@ -375,7 +378,8 @@ class App:
                 else:
                     resp = handler(req)
         except HTTPError as e:
-            resp = Response({"detail": e.detail}, status=e.status)
+            resp = Response({"detail": e.detail}, status=e.status,
+                            headers=dict(e.headers))
         except Exception as e:
             # global exception handler (api.py:269-280)
             if self.debug:

@@ -424,3 +424,63 @@ def test_server_close_waits_for_inflight_requests():
     assert done.is_set()
     assert _time.time() - t0 >= 0.45
     assert srv.draining is True
+
+
+def test_admission_gate_sheds_503(monkeypatch):
+    """AVD_MAX_INFLIGHT=1: a second concurrent analysis POST is shed with
+    503 + Retry-After before its upload is spooled; health stays served;
+    the slot frees once the first analysis finishes."""
+    monkeypatch.setenv("AVD_MAX_INFLIGHT", "1")
+    monkeypatch.setenv("AVD_BACKEND", "oracle")
+    config_mod.reset_config()
+    started = threading.Event()
+    release = threading.Event()
+
+    def slow_analyze(path, source_url=None, resolved_url=None):
+        started.set()
+        assert release.wait(20)
+        return {"ok": True, "result": {"label": "real"}}
+
+    application = app_mod.build_app(analyze_fn=slow_analyze)
+    srv = http_mod.make_server(application, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    body, headers = _multipart(files={"file": ("c.mp4", b"x" * 2048)})
+    first = {}
+
+    def post_first():
+        first["out"] = _request(port, "POST", "/analyze", body, headers)
+
+    t = threading.Thread(target=post_first, daemon=True)
+    try:
+        t.start()
+        assert started.wait(10)
+        # concurrent analysis POST -> shed
+        status, shed_headers, data = _request(port, "POST", "/analyze",
+                                              body, headers)
+        assert status == 503
+        detail = json.loads(data)["detail"]
+        assert detail["error"] == "Servizio sovraccarico, riprova"
+        assert detail["inflight_limit"] == 1
+        assert shed_headers.get("Retry-After") == "1"
+        # url-form analysis is gated too
+        status, _, _ = _request(
+            port, "POST", "/analyze-url", b"url=http%3A%2F%2Fx%2Fv.mp4",
+            {"Content-Type": "application/x-www-form-urlencoded",
+             "Content-Length": "26"})
+        assert status == 503
+        # health/metrics are never shed
+        status, _, data = _request(port, "GET", "/healthz")
+        assert status == 200 and json.loads(data)["ok"] is True
+        status, _, data = _request(port, "GET", "/metrics")
+        assert json.loads(data)["metrics"]["requests_shed"] >= 2
+        # slot frees when the in-flight analysis completes
+        release.set()
+        t.join(10)
+        assert first["out"][0] == 200
+        status, _, _ = _request(port, "POST", "/analyze", body, headers)
+        assert status == 200
+    finally:
+        release.set()
+        srv.shutdown()
+        config_mod.reset_config()
