@@ -12,7 +12,10 @@ contract:
 * ``AVD_DETECTOR_BLEND=x`` (0..1) additionally blends the detector
   probability into ``timeline_ai`` (0 keeps pure heuristic parity mode);
 * ``AVD_DETECTOR_CKPT`` loads orbax weights; absent, the model runs with
-  seeded random init (useful for wiring/latency tests, labeled as such).
+  seeded random init (useful for wiring/latency tests, labeled as such);
+* ``AVD_DETECTOR_QUANT=1`` serves the int8 W8A8 path (models/quant.py),
+  single-chip (it takes precedence over mesh sharding — the TP specs
+  describe the f32 tree).
 """
 
 from __future__ import annotations
@@ -82,6 +85,22 @@ def _bundle():
     if ckpt:
         params = detector.load_checkpoint(ckpt, params)
         source = ckpt
+
+    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1":
+        # int8 W8A8 serving mode (models/quant.py): per-channel int8
+        # weights + dynamic per-token int8 activations on the MXU.
+        # Takes precedence over mesh sharding — the TP specs describe
+        # the f32 tree, so the quantized model serves single-chip.
+        from avd_tpu.models import quant
+        params = quant.quantize_params(params)
+        source = f"{source}+int8"
+
+        @jax.jit
+        def probs(params, frames_f32):
+            logits = quant.forward(params, frames_f32, cfg)[:, 0]
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        return cfg, params, probs, source, 1
 
     # Inference shards over the device mesh when one exists (SURVEY §7.4:
     # detector forward under pjit, frame axis over 'data', hidden over
