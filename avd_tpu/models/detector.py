@@ -320,6 +320,68 @@ def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     return block_forward_aux(x, lp, cfg, ap, res_spec)[0]
 
 
+def block_forward_tp(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
+                     axis: str = "model") -> jnp.ndarray:
+    """One transformer block with MANUAL Megatron-TP collectives, for use
+    inside ``shard_map`` where GSPMD constraints don't apply — e.g.
+    composed with the GPipe pipeline (forward_pipelined(tp=True), the
+    dp×pp×tp 3-D configuration).
+
+    The caller hands in this device's weight shards (qkv/mlp-in
+    column-sliced over ``axis`` → local heads / local hidden; proj/mlp-out
+    row-sliced); the residual stream ``x`` is replicated over ``axis``.
+    Each TP region exits through one ``psum`` over ``axis`` — the same
+    collective GSPMD inserts on the annotated path (block_forward), so the
+    two are numerically equivalent for dense configs.
+
+    IMPORTANT: the stock qkv_w column layout is ``(3, heads, head_dim)``
+    (q/k/v outermost), so a contiguous column slice cuts ACROSS the
+    q/k/v boundary.  This function expects qkv_w/qkv_b columns permuted
+    to ``(heads, 3, head_dim)`` — each shard then holds whole heads —
+    which ``_tp_shuffle_qkv`` (used by forward_pipelined) performs.
+    """
+    # local head count from the shard's static shape: qkv_w is [d, 3·d/m]
+    local_width = lp["qkv_w"].shape[1] // 3
+    local_heads = local_width // cfg.head_dim
+
+    h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
+            lp["ln1_bias"]).astype(jnp.bfloat16)
+    qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
+        lp["qkv_b"].astype(jnp.bfloat16)
+    b, t, _ = qkv.shape
+    # columns arrive head-major (see docstring): (local_heads, 3, head_dim)
+    qkv = qkv.reshape(b, t, local_heads, 3, cfg.head_dim)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    att = jnp.einsum("bthd,bshd->bhts", q, k,
+                     preferred_element_type=jnp.float32)
+    att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(b, t, local_width).astype(jnp.bfloat16)
+    o = jax.lax.psum(o @ lp["proj_w"].astype(jnp.bfloat16), axis)
+    x = x + o + lp["proj_b"].astype(jnp.bfloat16)
+
+    h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
+            lp["ln2_bias"]).astype(jnp.bfloat16)
+    h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
+        lp["mlp_in_b"].astype(jnp.bfloat16)
+    h = jax.nn.gelu(h)
+    h = jax.lax.psum(h @ lp["mlp_out_w"].astype(jnp.bfloat16), axis)
+    return x + h + lp["mlp_out_b"].astype(jnp.bfloat16)
+
+
+def _tp_shuffle_qkv(layers, cfg: ViTConfig):
+    """Permute each layer's qkv_w/qkv_b columns from ``(3, heads,
+    head_dim)`` to ``(heads, 3, head_dim)`` so a contiguous column shard
+    over 'model' holds whole heads — the layout block_forward_tp expects.
+    (GSPMD's sharded block_forward never needs this: it shards the
+    logical array, not contiguous slices.)"""
+    idx = np.arange(3 * cfg.width).reshape(3, cfg.heads, cfg.head_dim)
+    idx = idx.transpose(1, 0, 2).reshape(-1)
+    return [dict(lp, qkv_w=lp["qkv_w"][:, idx], qkv_b=lp["qkv_b"][idx])
+            for lp in layers]
+
+
 def head(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     """Final LN on the cls token → f32 logits."""
     x = _ln(x.astype(jnp.float32), params["ln_f_scale"], params["ln_f_bias"])
@@ -357,7 +419,8 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
 
 
 def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
-                      cfg: ViTConfig, mesh, n_micro: int = 0) -> jnp.ndarray:
+                      cfg: ViTConfig, mesh, n_micro: int = 0,
+                      tp: bool = False) -> jnp.ndarray:
     """Pipeline-parallel ViT forward over the mesh's ``stage`` axis
     (optionally × ``data``): the layer stack is sharded per stage and
     microbatches stream through a GPipe ppermute ring
@@ -368,6 +431,14 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
     ``n_micro`` defaults to the stage count (caller raises it to shrink
     the (S-1)/(n_micro+S-1) bubble); the batch must divide by it, and
     each microbatch by the mesh's ``data`` axis when present.
+
+    ``tp=True`` additionally tensor-shards every stage's blocks over the
+    mesh's ``model`` axis (the dp×pp×tp 3-D configuration): each layer's
+    qkv/mlp-in weights are column-sliced and proj/mlp-out row-sliced by
+    shard_map's in_specs, and the stage body runs ``block_forward_tp`` —
+    manual Megatron collectives (one psum over 'model' per TP region),
+    since GSPMD annotations don't apply inside shard_map.  Dense configs
+    only; heads and mlp width must divide by the 'model' axis size.
     """
     from jax import shard_map
 
@@ -384,16 +455,40 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
 
     x = embed(params, frames, cfg)
     xs = x.reshape(n_micro, B // n_micro, cfg.tokens, cfg.width)
-    stacked = pl.stack_layers(params["layers"])
+    layers = params["layers"]
 
-    def stage_fn(sp, xm):
-        return pl.scan_layers(
-            lambda h, lp: block_forward(h, lp, cfg), sp, xm)
+    if tp:
+        if "model" not in mesh.axis_names:
+            raise ValueError("tp=True needs a 'model' mesh axis")
+        if cfg.n_experts:
+            raise ValueError("tp=True composes dense blocks only "
+                             "(block_forward_tp); MoE uses the GSPMD path")
+        m = mesh.shape["model"]
+        if cfg.heads % m or cfg.mlp_width % m:
+            raise ValueError(f"heads {cfg.heads} / mlp {cfg.mlp_width} "
+                             f"not divisible by model axis {m}")
+        # per-leaf stacked specs: prepend the stage axis to each layer
+        # leaf's TP spec (P(None,'model') → P('stage',None,'model'), …)
+        pspec = jax.tree_util.tree_map(
+            lambda s: P("stage", *s), param_specs(cfg)["layers"][0],
+            is_leaf=lambda s: isinstance(s, P))
+        layers = _tp_shuffle_qkv(layers, cfg)
 
+        def stage_fn(sp, xm):
+            return pl.scan_layers(
+                lambda h, lp: block_forward_tp(h, lp, cfg), sp, xm)
+    else:
+        pspec = P("stage")
+
+        def stage_fn(sp, xm):
+            return pl.scan_layers(
+                lambda h, lp: block_forward(h, lp, cfg), sp, xm)
+
+    stacked = pl.stack_layers(layers)
     xspec = P(None, "data") if "data" in mesh.axis_names else P(None)
     run = shard_map(
         lambda sp, x: pl.gpipe(stage_fn, sp, x, n_stages),
-        mesh=mesh, in_specs=(P("stage"), xspec), out_specs=xspec)
+        mesh=mesh, in_specs=(pspec, xspec), out_specs=xspec)
     ys = run(stacked, xs)
     return head(params, ys.reshape(B, cfg.tokens, cfg.width))
 
@@ -435,14 +530,18 @@ def make_train_step(cfg, optimizer, sharded: bool = False, loss=None):
     return step
 
 
-def make_pp_train_step(cfg: ViTConfig, optimizer, mesh, n_micro: int = 0):
+def make_pp_train_step(cfg: ViTConfig, optimizer, mesh, n_micro: int = 0,
+                       tp: bool = False):
     """Training step whose forward runs pipeline-parallel over the
     mesh's 'stage' axis (forward_pipelined); gradients flow back through
     the GPipe scan (ppermute transposes to the reverse ring).  MoE aux
-    loss is not collected on the pipelined path (dense configs)."""
+    loss is not collected on the pipelined path (dense configs).
+    ``tp=True`` additionally tensor-shards each stage's blocks over the
+    'model' axis (dp×pp×tp — forward_pipelined's manual-TP path)."""
 
     def pp_loss(params, frames, labels):
-        logits = forward_pipelined(params, frames, cfg, mesh, n_micro)
+        logits = forward_pipelined(params, frames, cfg, mesh, n_micro,
+                                   tp=tp)
         return _bce(logits[:, 0], labels)
 
     def step(params, opt_state, frames, labels):

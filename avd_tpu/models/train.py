@@ -148,7 +148,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           image_size: int = 64, width: int = 256, depth: int = 4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
           cache_samples: int = 8192, arch: str = "vit",
-          experts: int = 0, pp_stages: int = 0, remat: bool = False):
+          experts: int = 0, pp_stages: int = 0, pp_tp: int = 0,
+          remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -171,18 +172,26 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     sharded = n_dev > 1
     mesh = None
     if pp_stages > 1:
-        # pipeline-parallel training: (data, stage) mesh, GPipe forward
+        # pipeline-parallel training: (data, stage) mesh, GPipe forward;
+        # --pp-tp M adds a 'model' axis for the 3-D dp×pp×tp composition
+        # (block_forward_tp's manual Megatron psums inside each stage)
         if arch != "vit":
             raise ValueError("--pp requires the ViT family")
-        if n_dev % pp_stages or cfg.depth % pp_stages:
+        tp = max(1, pp_tp)
+        if n_dev % (pp_stages * tp) or cfg.depth % pp_stages:
             raise ValueError(f"{n_dev} devices / depth {cfg.depth} not "
-                             f"divisible by {pp_stages} stages")
-        mesh = mesh_mod.make_mesh(n_dev, axes=("data", "stage"),
-                                  shape=(n_dev // pp_stages, pp_stages))
+                             f"divisible by {pp_stages} stages × {tp} tp")
+        if tp > 1:
+            mesh = mesh_mod.make_mesh(
+                n_dev, axes=("data", "stage", "model"),
+                shape=(n_dev // (pp_stages * tp), pp_stages, tp))
+        else:
+            mesh = mesh_mod.make_mesh(n_dev, axes=("data", "stage"),
+                                      shape=(n_dev // pp_stages, pp_stages))
         sharded = True
         opt_state = optimizer.init(params)
         step_fn = jax.jit(detector.make_pp_train_step(cfg, optimizer,
-                                                      mesh))
+                                                      mesh, tp=tp > 1))
     else:
         if sharded:
             mesh = mesh_mod.make_mesh(n_dev, axes=("data", "model"))
@@ -261,6 +270,9 @@ def main() -> int:
     ap.add_argument("--pp", type=int, default=0, dest="pp_stages",
                     help="pipeline-parallel stage count (GPipe over a "
                          "(data, stage) mesh; ViT only)")
+    ap.add_argument("--pp-tp", type=int, default=0, dest="pp_tp",
+                    help="with --pp: 'model' axis size for the 3-D "
+                         "dp×pp×tp mesh (Megatron TP inside each stage)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize blocks under autodiff "
                          "(activation memory O(1) in depth; ViT only)")
@@ -278,7 +290,7 @@ def main() -> int:
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
                       experts=args.experts, pp_stages=args.pp_stages,
-                      remat=args.remat)
+                      pp_tp=args.pp_tp, remat=args.remat)
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

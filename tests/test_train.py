@@ -112,3 +112,18 @@ def test_remat_gradients_identical():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_train_driver_3d_pp_tp():
+    """--pp 2 --pp-tp 2: the 3-D dp×pp×tp mesh through the real driver
+    (GPipe ring over 'stage', manual Megatron psums over 'model')."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from avd_tpu.models import train as train_mod
+    _, losses = train_mod.train(steps=2, batch=8, image_size=32,
+                                log_every=0, cache_samples=8,
+                                pp_stages=2, pp_tp=2)
+    assert len(losses) == 2 and all(np.isfinite(losses))
