@@ -31,6 +31,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -68,6 +69,7 @@ struct VDec {
   std::vector<RegionPlan> plans;       // one per keyframe region
   int64_t step = 0;
   bool tail_skip = false;              // demux order == display order
+  bool threaded = false;               // frame threading active (delay>0)
   // sequential decode state (single demux walk, no seeks)
   bool demux_eof = false;
   bool final_drained = false;
@@ -141,9 +143,24 @@ void* avd_vdec_open(const char* path, int64_t step, AvdMediaInfo* info) {
     if (!codec) goto fail;
     v->dec = avcodec_alloc_context3(codec);
     if (!v->dec ||
-        avcodec_parameters_to_context(v->dec, st->codecpar) < 0 ||
-        avcodec_open2(v->dec, codec, nullptr) < 0)
+        avcodec_parameters_to_context(v->dec, st->codecpar) < 0)
       goto fail;
+    // Threaded decode: bit-exact by libav's threading contract; frame
+    // threading only adds output delay, which the send/receive walk
+    // below already absorbs (drain_receives + the EOF drain).  Default
+    // 0 = auto (core count — a no-op on a 1-core host); pin with
+    // AVD_DECODE_THREADS.
+    {
+      const char* te = getenv("AVD_DECODE_THREADS");
+      int threads = te ? atoi(te) : 0;
+      v->dec->thread_count = threads < 0 ? 0 : threads;
+      v->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    }
+    if (avcodec_open2(v->dec, codec, nullptr) < 0) goto fail;
+    // Frame threading holds ~thread_count frames in flight; the walk's
+    // skip logic must drain them at region boundaries (see below).
+    v->threaded = (v->dec->active_thread_type & FF_THREAD_FRAME) != 0 &&
+                  v->dec->thread_count > 1;
 
     // Pass 1: packet index (no decode).
     std::vector<PacketIndex> pkts;
@@ -355,7 +372,18 @@ int64_t avd_vdec_read_sampled(void* handle, int64_t max_out,
     if (skip) {
       av_packet_unref(pkt);
       if (v->sent_since_flush) {
-        v->pending_flush = true;
+        if (v->threaded) {
+          // a frame-threaded decoder still holds ~thread_count frames in
+          // flight; a plain flush would DISCARD them (losing samples) and
+          // the tail-skip no-flush path would strand them.  Enter drain
+          // mode, receive everything, then reset for the next region.
+          avcodec_send_packet(v->dec, nullptr);
+          drain_receives();
+          avcodec_flush_buffers(v->dec);
+          v->pending_flush = false;
+        } else {
+          v->pending_flush = true;
+        }
         v->sent_since_flush = false;
       }
       continue;
@@ -367,7 +395,16 @@ int64_t avd_vdec_read_sampled(void* handle, int64_t max_out,
       if (!v->tail_skip) avcodec_flush_buffers(v->dec);
       v->pending_flush = false;
     }
-    r = avcodec_send_packet(v->dec, pkt);
+    // With threaded decode the pipeline fills and send_packet returns
+    // EAGAIN — drain and RESEND the same packet (dropping it loses the
+    // frame; single-threaded decode never hits this since every send is
+    // followed by a full drain).
+    while (true) {
+      r = avcodec_send_packet(v->dec, pkt);
+      if (r != AVERROR(EAGAIN)) break;
+      drain_receives();
+      if (!v->strict_ok) break;
+    }
     av_packet_unref(pkt);
     if (r < 0 && r != AVERROR(EAGAIN)) {
       v->strict_ok = false;

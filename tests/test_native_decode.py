@@ -163,3 +163,26 @@ def test_full_pipeline_av_mp4(tmp_path):
     tl = res["audio"]["timeline"]
     assert len(tl) == 3 and any(abs(v - 0.5) > 1e-9 for v in tl)
     assert res["meta"]["acodec"] == "aac"
+
+
+def test_sampler_bit_exact_with_threaded_decode(tmp_path, monkeypatch):
+    """AVD_DECODE_THREADS>1 enables libav frame/slice threading, which
+    only adds output delay — the sampled pixels must stay bit-exact
+    (libav's threading contract) and the walk must drain the extra
+    pipeline depth."""
+    monkeypatch.setenv("AVD_DECODE_THREADS", "4")
+    clip = fixtures.spliced_clip(90, 96)
+    path = fixtures.write_video(tmp_path / "t.mp4", clip, fps=30.0)
+    step = video_reader.sampling_step(30.0)
+    ref = _cv2_walk(path, step)
+
+    vs = decode.VideoSampler.open(path, step)
+    assert vs is not None
+    got = []
+    for fr, _ in vs.chunks(4):
+        got.append(fr.copy())
+    vs.close()
+    got = np.concatenate(got) if got else np.zeros((0,))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
