@@ -35,10 +35,11 @@ def _backend() -> str:
 
 
 def analyze(path: str, meta: dict) -> Dict[str, Any]:
-    # features needing the full decoded batch (detector, freq forensics)
-    # use the batch path; plain analysis streams with bounded memory
-    whole_batch_features = (_detector_on()
-                            or os.getenv("AVD_FREQ_FORENSICS", "0") == "1"
+    # features needing the full decoded batch (freq forensics, change
+    # gating) use the batch path; plain analysis — including the neural
+    # detector, which accumulates per-chunk 224px resizes — streams with
+    # bounded memory
+    whole_batch_features = (os.getenv("AVD_FREQ_FORENSICS", "0") == "1"
                             or os.getenv("AVD_CHANGE_GATE", "0") == "1")
     if _backend() != "oracle" and os.getenv("AVD_STREAM", "1") == "1" \
             and not whole_batch_features:
@@ -56,7 +57,12 @@ def _detector_on() -> bool:
 
 def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     """File path analysis with chunked decode overlapped against async
-    device dispatch — memory-bounded for long/4K clips."""
+    device dispatch — memory-bounded for long/4K clips.  When the neural
+    detector is on, each chunk's frames are resized to the model input
+    size as they pass (~150 KB/frame u8 instead of holding full-res
+    frames), and scored once after the stream drains — numerics
+    identical to the batch path (same cv2 resize, scoring.py)."""
+    from avd_tpu.models import scoring
     from avd_tpu.ops import video_features
     from avd_tpu.oracle import video_ref
 
@@ -66,11 +72,16 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     cap.release()
 
     holder: Dict[str, Any] = {}
+    det_on = _detector_on()
+    det_size = scoring.input_size() if det_on else 0
+    det_acc: list = []
 
     def chunks():
         for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32,
                                                    copy=False):
             holder.setdefault("fb", fb)
+            if det_on and fb.frames.shape[0]:
+                det_acc.append(scoring.resize_frames(fb.frames, det_size))
             yield fb.frames
 
     try:
@@ -96,8 +107,29 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     else:
         out = video_ref.summarize(feats, fb.width, fb.height, fb.fps,
                                   fb.duration)
+    if det_on and det_acc:
+        import numpy as np
+        _apply_detector(out, scoring.detector_timeline_resized(
+            np.concatenate(det_acc)))
     out["timeline_ai"] = out["timeline"]
     return out
+
+
+def _apply_detector(out: Dict[str, Any], det) -> None:
+    """Attach the detector timeline and blend it into the heuristic
+    timeline (shared by the batch and streaming paths).  Alignment uses
+    the reference's last-value/truncate padding rule (video.py:73-81)."""
+    from avd_tpu.models import scoring
+    if det is None:
+        return
+    out["detector"] = det
+    det_t = list(det["timeline"])
+    tlen = len(out["timeline"])
+    if len(det_t) < tlen:
+        det_t += [det_t[-1] if det_t else 0.5] * (tlen - len(det_t))
+    else:
+        det_t = det_t[:tlen]
+    out["timeline"] = scoring.blend(out["timeline"], det_t)
 
 
 def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
@@ -122,19 +154,7 @@ def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
     # optional neural detector (north-star slot; parity mode bypasses it)
     from avd_tpu.models import scoring
     if scoring.enabled():
-        det = scoring.detector_timeline(fb.frames)
-        if det is not None:
-            out["detector"] = det
-            # align to the padded timeline with the reference's
-            # last-value/truncate rule (video.py:73-81), then blend
-            det_t = list(det["timeline"])
-            tlen = len(out["timeline"])
-            if len(det_t) < tlen:
-                det_t += [det_t[-1] if det_t else 0.5] * \
-                    (tlen - len(det_t))
-            else:
-                det_t = det_t[:tlen]
-            out["timeline"] = scoring.blend(out["timeline"], det_t)
+        _apply_detector(out, scoring.detector_timeline(fb.frames))
 
     # timeline and timeline_ai must alias (video.py:83).
     out["timeline_ai"] = out["timeline"]

@@ -137,21 +137,43 @@ def _bundle():
     return cfg, params, probs, source, 1
 
 
-def _prep_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
-    """[N, H, W, 3] BGR uint8 → [N, size, size, 3] RGB f32 in [0,1]."""
+def input_size() -> int:
+    """Model input resolution (loads the bundle)."""
+    return _bundle()[0].image_size
+
+
+def resize_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
+    """[N, H, W, 3] BGR uint8 → [N, size, size, 3] BGR uint8 — the
+    resize half of the input prep, split out so the streaming path can
+    shrink each decode chunk as it passes (bounded memory) and score
+    once at the end with numerics identical to the batch path."""
     try:
         import cv2
-        resized = np.stack([cv2.resize(f, (size, size),
-                                       interpolation=cv2.INTER_AREA)
-                            for f in frames_bgr])
+        return np.stack([cv2.resize(f, (size, size),
+                                    interpolation=cv2.INTER_AREA)
+                         for f in frames_bgr])
     except ImportError:
         # nearest-neighbor fallback
         n, h, w, _ = frames_bgr.shape
         yi = (np.arange(size) * h // size)
         xi = (np.arange(size) * w // size)
-        resized = frames_bgr[:, yi][:, :, xi]
-    rgb = resized[..., ::-1].astype(np.float32) / 255.0
+        return frames_bgr[:, yi][:, :, xi]
+
+
+def _prep_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
+    """[N, H, W, 3] BGR uint8 → [N, size, size, 3] RGB f32 in [0,1]."""
+    rgb = resize_frames(frames_bgr, size)[..., ::-1].astype(np.float32) \
+        / 255.0
     return rgb
+
+
+def detector_timeline_resized(resized_bgr: np.ndarray) -> Optional[dict]:
+    """detector_timeline for frames already resized to ``input_size()``
+    (BGR uint8) — the streaming path's accumulation format."""
+    if not enabled() or resized_bgr.shape[0] == 0:
+        return None
+    batch = resized_bgr[..., ::-1].astype(np.float32) / 255.0
+    return _score_prepped(batch)
 
 
 def detector_timeline(frames_bgr: np.ndarray) -> Optional[dict]:
@@ -159,10 +181,14 @@ def detector_timeline(frames_bgr: np.ndarray) -> Optional[dict]:
     the detector is disabled or no frames exist."""
     if not enabled() or frames_bgr.shape[0] == 0:
         return None
+    return _score_prepped(_prep_frames(frames_bgr, input_size()))
+
+
+def _score_prepped(batch: np.ndarray) -> dict:
+    """Score a prepped [N, size, size, 3] RGB f32 batch."""
     import jax.numpy as jnp
 
     cfg, params, probs_fn, source, min_batch = _bundle()
-    batch = _prep_frames(frames_bgr, cfg.image_size)
     # pad to a power-of-two bucket for stable compile shapes (and to a
     # multiple of the mesh's data axis when inference is sharded)
     n = batch.shape[0]

@@ -92,3 +92,31 @@ def test_analyzer_attaches_detector(small_detector, monkeypatch, tmp_path):
     assert len(out["detector"]["timeline"]) == 2  # 30 frames, step 15
     # blend defaults to 0 → heuristic timeline untouched by detector
     assert out["timeline"] is out["timeline_ai"]
+
+
+def test_streaming_detector_matches_batch(small_detector, tmp_path,
+                                          monkeypatch):
+    """AVD_DETECTOR no longer forces whole-clip batch decode: the
+    streaming path accumulates per-chunk model-size resizes and scores
+    once at the end — detector timeline and blended heuristic timeline
+    must equal the batch path's."""
+    from avd_tpu.analyzers import video
+    from avd_tpu.ingest import probe
+
+    monkeypatch.setenv("AVD_DETECTOR_BLEND", "0.5")
+    clip = fixtures.spliced_clip(90, 96)
+    path = fixtures.write_video(tmp_path / "s.mp4", clip, fps=30.0)
+    meta = probe.probe_basic_meta(path)
+
+    monkeypatch.setenv("AVD_STREAM", "1")
+    out_s = video.analyze(path, meta)
+    monkeypatch.setenv("AVD_STREAM", "0")
+    out_b = video.analyze(path, meta)
+
+    assert "detector" in out_s and "detector" in out_b
+    np.testing.assert_allclose(out_s["detector"]["timeline"],
+                               out_b["detector"]["timeline"],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(out_s["timeline"], out_b["timeline"],
+                               rtol=0, atol=1e-6)
+    assert out_s["timeline_ai"] is out_s["timeline"]  # alias contract
