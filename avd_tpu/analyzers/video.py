@@ -55,13 +55,57 @@ def _detector_on() -> bool:
     return scoring.enabled()
 
 
+class _DetAccum:
+    """Bounded-memory detector scoring for the streaming path: resized
+    chunks accumulate up to one slab (AVD_DETECTOR_SLAB frames, default
+    256 — ~38 MB u8 at 224 px), which is scored while the stream keeps
+    draining.  Per-frame scores are independent of batch grouping, so
+    slab-wise scoring is numerically identical to one whole-clip batch;
+    host memory and each device put stay O(slab), not O(clip)."""
+
+    def __init__(self, size: int):
+        self.size = size
+        self.slab = max(1, int(os.getenv("AVD_DETECTOR_SLAB", "256")))
+        self._parts: list = []
+        self._n = 0
+        self._timeline: list = []
+        self._weights = None
+
+    def add(self, frames_bgr) -> None:
+        from avd_tpu.models import scoring
+        part = scoring.resize_frames(frames_bgr, self.size)
+        self._parts.append(part)
+        self._n += part.shape[0]
+        if self._n >= self.slab:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._parts:
+            return
+        import numpy as np
+
+        from avd_tpu.models import scoring
+        det = scoring.detector_timeline_resized(
+            np.concatenate(self._parts))
+        self._parts, self._n = [], 0
+        if det is not None:
+            self._timeline.extend(det["timeline"])
+            self._weights = det["weights"]
+
+    def result(self):
+        self._flush()
+        if not self._timeline:
+            return None
+        return {"timeline": self._timeline, "weights": self._weights}
+
+
 def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     """File path analysis with chunked decode overlapped against async
     device dispatch — memory-bounded for long/4K clips.  When the neural
     detector is on, each chunk's frames are resized to the model input
     size as they pass (~150 KB/frame u8 instead of holding full-res
-    frames), and scored once after the stream drains — numerics
-    identical to the batch path (same cv2 resize, scoring.py)."""
+    frames) and scored in bounded slabs (_DetAccum) — numerics identical
+    to the batch path (same cv2 resize, scoring.py)."""
     from avd_tpu.models import scoring
     from avd_tpu.ops import video_features
     from avd_tpu.oracle import video_ref
@@ -73,15 +117,14 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
 
     holder: Dict[str, Any] = {}
     det_on = _detector_on()
-    det_size = scoring.input_size() if det_on else 0
-    det_acc: list = []
+    det = _DetAccum(scoring.input_size()) if det_on else None
 
     def chunks():
         for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32,
                                                    copy=False):
             holder.setdefault("fb", fb)
-            if det_on and fb.frames.shape[0]:
-                det_acc.append(scoring.resize_frames(fb.frames, det_size))
+            if det is not None and fb.frames.shape[0]:
+                det.add(fb.frames)
             yield fb.frames
 
     try:
@@ -107,10 +150,8 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     else:
         out = video_ref.summarize(feats, fb.width, fb.height, fb.fps,
                                   fb.duration)
-    if det_on and det_acc:
-        import numpy as np
-        _apply_detector(out, scoring.detector_timeline_resized(
-            np.concatenate(det_acc)))
+    if det is not None:
+        _apply_detector(out, det.result())
     out["timeline_ai"] = out["timeline"]
     return out
 

@@ -171,6 +171,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     n_dev = len(jax.devices())
     sharded = n_dev > 1
     mesh = None
+    if pp_tp > 1 and pp_stages <= 1:
+        raise ValueError("--pp-tp requires --pp (the 'model' axis rides "
+                         "the pipeline mesh)")
     if pp_stages > 1:
         # pipeline-parallel training: (data, stage) mesh, GPipe forward;
         # --pp-tp M adds a 'model' axis for the 3-D dp×pp×tp composition

@@ -377,7 +377,12 @@ int64_t avd_vdec_read_sampled(void* handle, int64_t max_out,
           // flight; a plain flush would DISCARD them (losing samples) and
           // the tail-skip no-flush path would strand them.  Enter drain
           // mode, receive everything, then reset for the next region.
-          avcodec_send_packet(v->dec, nullptr);
+          // A failed EOF-send means the flush below would drop in-flight
+          // samples — mark strict failure so the cv2 walk takes over.
+          if (avcodec_send_packet(v->dec, nullptr) < 0) {
+            v->strict_ok = false;
+            break;
+          }
           drain_receives();
           avcodec_flush_buffers(v->dec);
           v->pending_flush = false;

@@ -94,15 +94,19 @@ def test_analyzer_attaches_detector(small_detector, monkeypatch, tmp_path):
     assert out["timeline"] is out["timeline_ai"]
 
 
+@pytest.mark.parametrize("slab", ["256", "2"])
 def test_streaming_detector_matches_batch(small_detector, tmp_path,
-                                          monkeypatch):
+                                          monkeypatch, slab):
     """AVD_DETECTOR no longer forces whole-clip batch decode: the
     streaming path accumulates per-chunk model-size resizes and scores
-    once at the end — detector timeline and blended heuristic timeline
-    must equal the batch path's."""
+    them in bounded slabs — detector timeline and blended heuristic
+    timeline must equal the batch path's (per-frame scores are
+    independent of batch grouping), including when the clip spans
+    multiple slabs (slab=2)."""
     from avd_tpu.analyzers import video
     from avd_tpu.ingest import probe
 
+    monkeypatch.setenv("AVD_DETECTOR_SLAB", slab)
     monkeypatch.setenv("AVD_DETECTOR_BLEND", "0.5")
     clip = fixtures.spliced_clip(90, 96)
     path = fixtures.write_video(tmp_path / "s.mp4", clip, fps=30.0)
