@@ -8,14 +8,17 @@ parity mode.  Two architecture families share one functional API
 make_train_step / param_specs / checkpoint helpers):
 
 * ``detector`` — the flagship per-frame ViT (default);
-* ``cnn``      — ConvNeXt-style CNN (matmul-lowered convs, same TP plan).
+* ``cnn``      — ConvNeXt-style CNN (matmul-lowered convs, same TP plan);
+* ``temporal`` — transformer over the FRAME SEQUENCE (per-frame scores
+  with temporal context; sequence-parallel over time via ring
+  attention / Ulysses — the clip-level family).
 
-``scoring`` adapts either family's outputs to the analyzer timeline
-contract; select with ``AVD_DETECTOR_ARCH={vit,cnn}`` or
+``scoring`` adapts any family's outputs to the analyzer timeline
+contract; select with ``AVD_DETECTOR_ARCH={vit,cnn,temporal}`` or
 ``python -m avd_tpu.models.train --arch cnn``.
 """
 
-FAMILIES = ("vit", "cnn")
+FAMILIES = ("vit", "cnn", "temporal")
 
 
 def family(name: str):
@@ -26,5 +29,8 @@ def family(name: str):
     if name == "vit":
         from avd_tpu.models import detector
         return detector
+    if name == "temporal":
+        from avd_tpu.models import temporal
+        return temporal
     raise ValueError(f"unknown model family {name!r}; "
                      f"choose from {list(FAMILIES)}")

@@ -15,7 +15,12 @@ contract:
   seeded random init (useful for wiring/latency tests, labeled as such);
 * ``AVD_DETECTOR_QUANT=1`` serves the int8 W8A8 path (models/quant.py),
   single-chip (it takes precedence over mesh sharding — the TP specs
-  describe the f32 tree).
+  describe the f32 tree; vit/cnn only);
+* ``AVD_DETECTOR_ARCH=temporal`` scores the sampled frames as ONE
+  sequence (models/temporal.py::forward_clip) — each frame's score sees
+  its neighbors.  Temporal context spans the scored window: the power-
+  of-two bucket (and, in streaming, the AVD_DETECTOR_SLAB slab), padded
+  with last-frame repeats.
 """
 
 from __future__ import annotations
@@ -43,18 +48,24 @@ def blend_factor() -> float:
 _WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "weights")
 _DEFAULT_CKPT = os.path.join(_WEIGHTS_DIR, "detector_small")
-_DEFAULT_CNN_CKPT = os.path.join(_WEIGHTS_DIR, "cnn_small")
+_SHIPPED = {
+    "vit": _DEFAULT_CKPT,
+    "cnn": os.path.join(_WEIGHTS_DIR, "cnn_small"),
+    "temporal": os.path.join(_WEIGHTS_DIR, "temporal_small"),
+}
 
 
 def _arch() -> str:
-    """Model family: 'vit' (default) or 'cnn' (models/__init__.py)."""
+    """Model family: 'vit' (default), 'cnn', or 'temporal'
+    (models/__init__.py)."""
     return os.getenv("AVD_DETECTOR_ARCH", "vit")
 
 
 def _default_preset(arch: str) -> str:
     """'small' when the shipped trained checkpoint exists (a real model
-    beats a random-init big one), else the 'full' architecture slot."""
-    if arch == "cnn":
+    beats a random-init big one), else the 'full' architecture slot —
+    ViT only; the other families default small."""
+    if arch != "vit":
         return "small"
     return "small" if os.path.isdir(_DEFAULT_CKPT) else "full"
 
@@ -62,8 +73,8 @@ def _default_preset(arch: str) -> str:
 def _shipped_ckpt(arch: str, preset: str):
     if preset != "small":
         return None
-    path = _DEFAULT_CNN_CKPT if arch == "cnn" else _DEFAULT_CKPT
-    return path if os.path.isdir(path) else None
+    path = _SHIPPED.get(arch)
+    return path if path and os.path.isdir(path) else None
 
 
 @functools.lru_cache(maxsize=1)
@@ -86,7 +97,13 @@ def _bundle():
         params = detector.load_checkpoint(ckpt, params)
         source = ckpt
 
-    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1":
+    # clip-based families (temporal) score the sampled-frame axis as
+    # TIME through forward_clip; they serve single-chip here (their
+    # scale axis is time — forward_time_sharded — not data/model)
+    clip_based = hasattr(detector, "forward_clip")
+
+    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1" and arch in ("vit",
+                                                                "cnn"):
         # int8 W8A8 serving mode (models/quant.py): per-channel int8
         # weights + dynamic per-token int8 activations on the MXU.
         # Takes precedence over mesh sharding — the TP specs describe
@@ -106,7 +123,7 @@ def _bundle():
     # detector forward under pjit, frame axis over 'data', hidden over
     # 'model'); single-chip serving is the plain jit path.
     mesh = None
-    if len(jax.devices()) > 1:
+    if len(jax.devices()) > 1 and not clip_based:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
@@ -129,9 +146,11 @@ def _bundle():
 
         return cfg, params, probs, source, mesh.shape["data"]
 
+    fwd = detector.forward_clip if clip_based else detector.forward
+
     @jax.jit
     def probs(params, frames_f32):
-        logits = detector.forward(params, frames_f32, cfg)[:, 0]
+        logits = fwd(params, frames_f32, cfg)[:, 0]
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     return cfg, params, probs, source, 1

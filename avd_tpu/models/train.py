@@ -100,10 +100,12 @@ def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999,
         frames, labels = synthetic_batch(rng, batch, cfg.image_size)
         ps.append(np.asarray(probs(params, jnp.asarray(frames))))
         ys.append(labels)
-    p = np.concatenate(ps)
-    y = np.concatenate(ys)
+    return _acc_auc(np.concatenate(ps), np.concatenate(ys))
+
+
+def _acc_auc(p: np.ndarray, y: np.ndarray):
+    """Accuracy at 0.5 + AUC via the rank statistic."""
     acc = float(np.mean((p > 0.5) == (y == 1)))
-    # AUC via rank statistic
     order = np.argsort(p)
     ranks = np.empty_like(order, dtype=np.float64)
     ranks[order] = np.arange(1, len(p) + 1)
@@ -112,6 +114,30 @@ def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999,
     auc = float((ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2)
                 / max(1, n_pos * n_neg))
     return acc, auc
+
+
+def evaluate_sequences(params, cfg, n: int = 64, t: int = 8,
+                       batch: int = 16, seed: int = 999):
+    """Held-out synthetic-sequence eval for the temporal family →
+    per-frame (accuracy, auc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.models import temporal
+
+    @jax.jit
+    def probs(p, fb):
+        return jax.nn.sigmoid(
+            temporal.forward(p, fb, cfg)[..., 0].astype(jnp.float32))
+
+    rng = np.random.default_rng(seed)
+    ps, ys = [], []
+    for _ in range(max(1, n // batch)):
+        frames, labels = temporal.synthetic_sequences(rng, batch, t,
+                                                      cfg.image_size)
+        ps.append(np.asarray(probs(params, jnp.asarray(frames))).ravel())
+        ys.append(labels.ravel())
+    return _acc_auc(np.concatenate(ps), np.concatenate(ys))
 
 
 def _dir_batches(root: str, rng, batch: int, size: int):
@@ -149,7 +175,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
           cache_samples: int = 8192, arch: str = "vit",
           experts: int = 0, pp_stages: int = 0, pp_tp: int = 0,
-          remat: bool = False):
+          remat: bool = False, seq_len: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -161,6 +187,12 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     detector = models.family(arch)
     if arch == "cnn":
         cfg = detector.make_config("small", image_size=image_size)
+    elif arch == "temporal":
+        if data:
+            raise ValueError("--data folders are per-frame; the temporal "
+                             "family trains on synthetic sequences")
+        cfg = detector.make_config("small", image_size=image_size,
+                                   width=width, depth=depth, heads=heads)
     else:
         cfg = detector.make_config("full", image_size=image_size, patch=16,
                                    width=width, depth=depth, heads=heads,
@@ -212,12 +244,18 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     # epochs from it (fresh-seed held-out eval still measures generalization)
     pool = None
     if batches is None and cache_samples:
-        pf, pl = [], []
-        for _ in range(-(-cache_samples // batch)):
-            f, lab = synthetic_batch(rng, batch, image_size)
-            pf.append(f)
-            pl.append(lab)
-        pool = (np.concatenate(pf), np.concatenate(pl))
+        if arch == "temporal":
+            from avd_tpu.models import temporal
+            pool = temporal.synthetic_sequences(
+                rng, max(batch, cache_samples // seq_len), seq_len,
+                image_size)
+        else:
+            pf, pl = [], []
+            for _ in range(-(-cache_samples // batch)):
+                f, lab = synthetic_batch(rng, batch, image_size)
+                pf.append(f)
+                pl.append(lab)
+            pool = (np.concatenate(pf), np.concatenate(pl))
 
     losses = []
     import contextlib
@@ -230,6 +268,10 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             elif pool is not None:
                 idx = rng.integers(0, pool[0].shape[0], batch)
                 frames, labels = pool[0][idx], pool[1][idx]
+            elif arch == "temporal":
+                from avd_tpu.models import temporal
+                frames, labels = temporal.synthetic_sequences(
+                    rng, batch, seq_len, image_size)
             else:
                 frames, labels = synthetic_batch(rng, batch, image_size)
             fb = jnp.asarray(frames)
@@ -245,7 +287,10 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 print(f"step {step:5d}  loss {losses[-1]:.4f}  "
                       f"{rate:.1f} frames/s", flush=True)
 
-    acc, auc = evaluate(params, cfg, fam=detector)
+    if arch == "temporal":
+        acc, auc = evaluate_sequences(params, cfg, t=seq_len)
+    else:
+        acc, auc = evaluate(params, cfg, fam=detector)
     print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
           flush=True)
     if out:
@@ -266,8 +311,11 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--heads", type=int, default=4)
-    ap.add_argument("--arch", default="vit", choices=("vit", "cnn"),
+    ap.add_argument("--arch", default="vit",
+                    choices=("vit", "cnn", "temporal"),
                     help="model family (models/__init__.py)")
+    ap.add_argument("--seq-len", type=int, default=8, dest="seq_len",
+                    help="temporal family: frames per training sequence")
     ap.add_argument("--experts", type=int, default=0,
                     help="ViT only: Switch-MoE expert count (0 = dense)")
     ap.add_argument("--pp", type=int, default=0, dest="pp_stages",
@@ -288,12 +336,16 @@ def main() -> int:
             ignored.append("--remat")
         if ignored:
             ap.error(f"{', '.join(ignored)} only apply to --arch vit")
+    if args.arch == "temporal" and (args.experts or args.remat
+                                    or args.pp_stages):
+        ap.error("--experts/--remat/--pp only apply to --arch vit")
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
                       out=args.out, data=args.data,
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
                       experts=args.experts, pp_stages=args.pp_stages,
-                      pp_tp=args.pp_tp, remat=args.remat)
+                      pp_tp=args.pp_tp, remat=args.remat,
+                      seq_len=args.seq_len)
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

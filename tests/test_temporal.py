@@ -1,0 +1,129 @@
+"""Temporal detector family (models/temporal.py): per-frame scores with
+temporal context, sequence parallelism over time via ring attention /
+Ulysses (the workload that makes parallel/attention.py load-bearing,
+SURVEY §2.2), training, and the scoring integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avd_tpu.models import temporal
+
+
+def _cfg(**over):
+    kw = dict(image_size=32, patch=16, width=128, depth=2, heads=4)
+    kw.update(over)
+    return temporal.TemporalConfig(**kw)
+
+
+def _setup(b=2, t=8, seed=0, **over):
+    cfg = _cfg(**over)
+    params = temporal.init_params(jax.random.PRNGKey(seed), cfg)
+    frames = jnp.asarray(np.random.default_rng(seed).random(
+        (b, t, cfg.image_size, cfg.image_size, 3), np.float32))
+    return cfg, params, frames
+
+
+def test_forward_shape_and_finite():
+    cfg, params, frames = _setup()
+    out = np.asarray(temporal.forward(params, frames, cfg))
+    assert out.shape == (2, 8, 1)
+    assert np.isfinite(out).all()
+
+
+def test_forward_clip_is_batchless_forward():
+    cfg, params, frames = _setup(b=1)
+    a = np.asarray(temporal.forward(params, frames, cfg)[0])
+    b = np.asarray(temporal.forward_clip(params, frames[0], cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_temporal_context_matters():
+    """The same frame in a different sequence must (generically) score
+    differently — the whole point of the family."""
+    cfg, params, frames = _setup(b=1, t=8)
+    other = jnp.asarray(np.random.default_rng(9).random(
+        frames.shape, np.float32))
+    mixed = jnp.concatenate([frames[:, :1], other[:, 1:]], axis=1)
+    s_a = float(temporal.forward(params, frames, cfg)[0, 0, 0])
+    s_b = float(temporal.forward(params, mixed, cfg)[0, 0, 0])
+    assert abs(s_a - s_b) > 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the virtual 8-device mesh")
+@pytest.mark.parametrize("impl,shards", [("ring", 8), ("ulysses", 4)])
+def test_time_sharded_matches_single(impl, shards):
+    from avd_tpu.parallel import mesh as mesh_mod
+    cfg, params, frames = _setup(b=2, t=16)
+    ref = np.asarray(temporal.forward(params, frames, cfg))
+    mesh = mesh_mod.make_mesh(shards, axes=("time",))
+    with mesh:
+        out = jax.jit(lambda p, f: temporal.forward_time_sharded(
+            p, f, cfg, mesh, impl=impl))(params, frames)
+    np.testing.assert_allclose(ref, np.asarray(out), atol=2e-2)
+
+
+def test_time_sharded_validation():
+    from avd_tpu.parallel import mesh as mesh_mod
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >=8 devices")
+    cfg, params, frames = _setup(b=1, t=10)  # 10 % 8 != 0
+    mesh = mesh_mod.make_mesh(8, axes=("time",))
+    with pytest.raises(ValueError, match="not divisible"):
+        temporal.forward_time_sharded(params, frames, cfg, mesh)
+    cfg2, params2, frames2 = _setup(b=1, t=16, heads=4)
+    with pytest.raises(ValueError, match="heads"):
+        temporal.forward_time_sharded(params2, frames2, cfg2, mesh,
+                                      impl="ulysses")  # 4 % 8
+    with pytest.raises(ValueError, match="unknown impl"):
+        mesh2 = mesh_mod.make_mesh(4, axes=("time",))
+        temporal.forward_time_sharded(params2, frames2, cfg2, mesh2,
+                                      impl="flash")
+
+
+def test_synthetic_sequences_structure():
+    rng = np.random.default_rng(0)
+    frames, labels = temporal.synthetic_sequences(rng, 16, 10, 32)
+    assert frames.shape == (16, 10, 32, 32, 3)
+    assert labels.shape == (16, 10)
+    assert set(np.unique(labels)) <= {0, 1}
+    # every label row must be 0*, 1*, or a single contiguous 1-span
+    for row in labels:
+        d = np.diff(row.astype(int))
+        assert np.sum(d == 1) <= 1 and np.sum(d == -1) <= 1
+
+
+def test_training_reduces_loss():
+    cfg = _cfg(width=128, depth=2)
+    params = temporal.init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = temporal.make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(temporal.make_train_step(cfg, optimizer))
+
+    rng = np.random.default_rng(0)
+    frames, labels = temporal.synthetic_sequences(rng, 8, 6, 32)
+    fb, lb = jnp.asarray(frames), jnp.asarray(labels)
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, fb, lb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_scoring_integration_temporal(monkeypatch):
+    from avd_tpu.models import scoring
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_ARCH", "temporal")
+    scoring._bundle.cache_clear()
+    try:
+        frames = np.random.default_rng(0).integers(
+            0, 255, (5, 48, 64, 3)).astype(np.uint8)
+        out = scoring.detector_timeline(frames)
+        assert out is not None and len(out["timeline"]) == 5
+        assert all(0.0 <= p <= 1.0 for p in out["timeline"])
+    finally:
+        scoring._bundle.cache_clear()

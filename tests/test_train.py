@@ -127,3 +127,20 @@ def test_train_driver_3d_pp_tp():
                                 log_every=0, cache_samples=8,
                                 pp_stages=2, pp_tp=2)
     assert len(losses) == 2 and all(np.isfinite(losses))
+
+
+def test_train_driver_temporal():
+    """--arch temporal: sequence training through the real driver,
+    per-frame eval helper included."""
+    from avd_tpu.models import train as train_mod
+    params, losses = train_mod.train(steps=2, batch=4, image_size=32,
+                                     width=128, depth=2, log_every=0,
+                                     cache_samples=32, arch="temporal",
+                                     seq_len=4)
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    from avd_tpu.models import temporal
+    cfg = temporal.make_config("small", image_size=32, width=128, depth=2,
+                               heads=4)
+    acc, auc = train_mod.evaluate_sequences(params, cfg, n=16, t=4,
+                                            batch=8)
+    assert 0.0 <= acc <= 1.0 and 0.0 <= auc <= 1.0
