@@ -110,6 +110,7 @@ def param_specs(cfg: TemporalConfig) -> Dict[str, Any]:
               "mlp_out_w", "mlp_out_b")}
     return {
         "frame_w": P(), "frame_b": P(),
+        "enc_w": P(), "enc_b": P(),
         "in_w": P(), "in_b": P(),
         "layers": [dict(layer) for _ in range(cfg.depth)],
         "ln_f_scale": P(), "ln_f_bias": P(),
@@ -129,6 +130,8 @@ def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
     params: Dict[str, Any] = {
         "frame_w": dense(k[0], patch_dim, (patch_dim, d)),
         "frame_b": jnp.zeros((d,), jnp.float32),
+        "enc_w": dense(jax.random.fold_in(k[0], 1), d, (d, d)),
+        "enc_b": jnp.zeros((d,), jnp.float32),
         "in_w": dense(k[1], d, (d, d)),
         "in_b": jnp.zeros((d,), jnp.float32),
         "layers": [],
@@ -167,13 +170,24 @@ def _time_encoding(t0: jnp.ndarray, n: int, d: int) -> jnp.ndarray:
 def _encode_frames(params, frames: jnp.ndarray,
                    cfg: TemporalConfig) -> jnp.ndarray:
     """[B, T, H, W, 3] → [B, T, width]: patchify each frame, project,
-    mean-pool the patch tokens (one matmul per frame, all MXU)."""
+    GELU, per-patch MLP layer, GELU, mean-pool the patch tokens,
+    project (three matmuls per frame, all MXU).
+
+    The GELU *before* the pool is load-bearing: mean-of-linear equals
+    linear-of-mean, so a linear encoder collapses to a function of the
+    frame's patch-average — blind to the second-order statistics
+    (sensor-noise energy vs generator smoothness) the detection cues
+    live in.  Rectified patch features pool into per-frame texture
+    energy instead (first trained run without it sat at chance)."""
     b, t = frames.shape[:2]
     x = frames.reshape((b * t,) + frames.shape[2:]).astype(jnp.bfloat16)
     toks = patchify(x, cfg.patch)                      # [B·T, Pt, pd]
     toks = toks @ params["frame_w"].astype(jnp.bfloat16) + \
         params["frame_b"].astype(jnp.bfloat16)
-    emb = jnp.mean(toks.astype(jnp.float32), axis=1)   # [B·T, d]
+    toks = jax.nn.gelu(toks)
+    toks = toks @ params["enc_w"].astype(jnp.bfloat16) + \
+        params["enc_b"].astype(jnp.bfloat16)
+    emb = jnp.mean(jax.nn.gelu(toks.astype(jnp.float32)), axis=1)
     emb = emb.astype(jnp.bfloat16) @ params["in_w"].astype(jnp.bfloat16) \
         + params["in_b"].astype(jnp.bfloat16)
     return emb.reshape(b, t, cfg.width)
