@@ -69,7 +69,8 @@ class TemporalConfig:
     image_size: int = 64
     patch: int = 16
     width: int = 256          # temporal stream dim
-    depth: int = 4
+    depth: int = 4            # temporal blocks (attention over frames)
+    frame_depth: int = 2      # spatial blocks per frame (over patches)
     heads: int = 4
     mlp_ratio: int = 4
     n_classes: int = 1        # per-frame binary: AI-generated?
@@ -110,7 +111,7 @@ def param_specs(cfg: TemporalConfig) -> Dict[str, Any]:
               "mlp_out_w", "mlp_out_b")}
     return {
         "frame_w": P(), "frame_b": P(),
-        "enc_w": P(), "enc_b": P(),
+        "frame_layers": [dict(layer) for _ in range(cfg.frame_depth)],
         "in_w": P(), "in_b": P(),
         "layers": [dict(layer) for _ in range(cfg.depth)],
         "ln_f_scale": P(), "ln_f_bias": P(),
@@ -118,8 +119,26 @@ def param_specs(cfg: TemporalConfig) -> Dict[str, Any]:
     }
 
 
+def _init_block(lk, d, mlp_width):
+    def dense(key, fan_in, shape):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / np.sqrt(fan_in)))
+    return {
+        "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+        "qkv_w": dense(lk[0], d, (d, 3 * d)),
+        "qkv_b": jnp.zeros((3 * d,)),
+        "proj_w": dense(lk[1], d, (d, d)),
+        "proj_b": jnp.zeros((d,)),
+        "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+        "mlp_in_w": dense(lk[2], d, (d, mlp_width)),
+        "mlp_in_b": jnp.zeros((mlp_width,)),
+        "mlp_out_w": dense(lk[3], mlp_width, (mlp_width, d)),
+        "mlp_out_b": jnp.zeros((d,)),
+    }
+
+
 def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
-    k = jax.random.split(key, 3 + cfg.depth)
+    k = jax.random.split(key, 3 + cfg.depth + cfg.frame_depth)
     d = cfg.width
     patch_dim = cfg.patch * cfg.patch * 3
 
@@ -130,8 +149,9 @@ def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
     params: Dict[str, Any] = {
         "frame_w": dense(k[0], patch_dim, (patch_dim, d)),
         "frame_b": jnp.zeros((d,), jnp.float32),
-        "enc_w": dense(jax.random.fold_in(k[0], 1), d, (d, d)),
-        "enc_b": jnp.zeros((d,), jnp.float32),
+        "frame_layers": [
+            _init_block(jax.random.split(k[3 + cfg.depth + i], 4), d,
+                        cfg.mlp_width) for i in range(cfg.frame_depth)],
         "in_w": dense(k[1], d, (d, d)),
         "in_b": jnp.zeros((d,), jnp.float32),
         "layers": [],
@@ -141,19 +161,8 @@ def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
         "head_b": jnp.zeros((cfg.n_classes,), jnp.float32),
     }
     for i in range(cfg.depth):
-        lk = jax.random.split(k[3 + i], 4)
-        params["layers"].append({
-            "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
-            "qkv_w": dense(lk[0], d, (d, 3 * d)),
-            "qkv_b": jnp.zeros((3 * d,)),
-            "proj_w": dense(lk[1], d, (d, d)),
-            "proj_b": jnp.zeros((d,)),
-            "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
-            "mlp_in_w": dense(lk[2], d, (d, cfg.mlp_width)),
-            "mlp_in_b": jnp.zeros((cfg.mlp_width,)),
-            "mlp_out_w": dense(lk[3], cfg.mlp_width, (cfg.mlp_width, d)),
-            "mlp_out_b": jnp.zeros((d,)),
-        })
+        params["layers"].append(
+            _init_block(jax.random.split(k[3 + i], 4), d, cfg.mlp_width))
     return params
 
 
@@ -170,24 +179,27 @@ def _time_encoding(t0: jnp.ndarray, n: int, d: int) -> jnp.ndarray:
 def _encode_frames(params, frames: jnp.ndarray,
                    cfg: TemporalConfig) -> jnp.ndarray:
     """[B, T, H, W, 3] → [B, T, width]: patchify each frame, project,
-    GELU, per-patch MLP layer, GELU, mean-pool the patch tokens,
-    project (three matmuls per frame, all MXU).
+    run ``frame_depth`` SPATIAL transformer blocks over the patch
+    tokens, mean-pool, project.
 
-    The GELU *before* the pool is load-bearing: mean-of-linear equals
-    linear-of-mean, so a linear encoder collapses to a function of the
-    frame's patch-average — blind to the second-order statistics
-    (sensor-noise energy vs generator smoothness) the detection cues
-    live in.  Rectified patch features pool into per-frame texture
-    energy instead (first trained run without it sat at chance)."""
+    Nonlinear processing *before* the pool is load-bearing:
+    mean-of-linear equals linear-of-mean, so a linear encoder collapses
+    to a function of the frame's patch-average — blind to the
+    second-order statistics (sensor-noise energy vs generator
+    smoothness) the detection cues live in (a trained run with a linear
+    encoder sat exactly at chance).  The spatial blocks give the
+    per-frame branch ViT-grade cue extraction; no intra-frame position
+    encoding is needed — the texture cues are position-invariant and
+    the pooled output is a set function of the patches."""
     b, t = frames.shape[:2]
     x = frames.reshape((b * t,) + frames.shape[2:]).astype(jnp.bfloat16)
     toks = patchify(x, cfg.patch)                      # [B·T, Pt, pd]
     toks = toks @ params["frame_w"].astype(jnp.bfloat16) + \
         params["frame_b"].astype(jnp.bfloat16)
-    toks = jax.nn.gelu(toks)
-    toks = toks @ params["enc_w"].astype(jnp.bfloat16) + \
-        params["enc_b"].astype(jnp.bfloat16)
-    emb = jnp.mean(jax.nn.gelu(toks.astype(jnp.float32)), axis=1)
+    from avd_tpu.parallel import attention as pa
+    for lp in params["frame_layers"]:                  # spatial attention
+        toks = _block(toks, lp, cfg, pa.full_attention)
+    emb = jnp.mean(toks.astype(jnp.float32), axis=1)   # [B·T, d]
     emb = emb.astype(jnp.bfloat16) @ params["in_w"].astype(jnp.bfloat16) \
         + params["in_b"].astype(jnp.bfloat16)
     return emb.reshape(b, t, cfg.width)
