@@ -143,7 +143,7 @@ def test_scoring_uses_cnn_arch(monkeypatch):
         assert out is not None
         assert len(out["timeline"]) == 3
         assert all(0.0 <= p <= 1.0 for p in out["timeline"])
-        if os.path.isdir(scoring._DEFAULT_CNN_CKPT):
+        if os.path.isdir(scoring._SHIPPED["cnn"]):
             assert out["weights"].endswith("cnn_small")
         else:
             assert out["weights"] == "random_init"

@@ -41,6 +41,10 @@ def bench(config: str) -> float:
         params = quant.quantize_params(params)
         fwd = jax.jit(lambda p, x: jax.nn.sigmoid(
             quant.forward(p, x, cfg)[:, 0].astype(jnp.float32)))
+    elif arch == "temporal":
+        # clip-level family: the batch axis IS time (one BATCH-frame clip)
+        fwd = jax.jit(lambda p, x: jax.nn.sigmoid(
+            fam.forward_clip(p, x, cfg)[:, 0].astype(jnp.float32)))
     else:
         fwd = jax.jit(lambda p, x: jax.nn.sigmoid(
             fam.forward(p, x, cfg)[:, 0].astype(jnp.float32)))
