@@ -63,21 +63,27 @@ class _DetAccum:
     slab-wise scoring is numerically identical to one whole-clip batch;
     host memory and each device put stay O(slab), not O(clip)."""
 
-    def __init__(self, size: int):
-        self.size = size
+    def __init__(self):
         self.slab = max(1, int(os.getenv("AVD_DETECTOR_SLAB", "256")))
+        self.error: str | None = None
         self._parts: list = []
         self._n = 0
         self._timeline: list = []
         self._weights = None
 
     def add(self, frames_bgr) -> None:
-        from avd_tpu.models import scoring
-        part = scoring.resize_frames(frames_bgr, self.size)
-        self._parts.append(part)
-        self._n += part.shape[0]
-        if self._n >= self.slab:
-            self._flush()
+        if self.error:
+            return
+        try:
+            from avd_tpu.models import scoring
+            part = scoring.resize_frames(frames_bgr, scoring.input_size())
+            self._parts.append(part)
+            self._n += part.shape[0]
+            if self._n >= self.slab:
+                self._flush()
+        except Exception as e:  # detector is additive — never kill the
+            self.error = e.__class__.__name__  # heuristic analysis
+            self._parts = []
 
     def _flush(self) -> None:
         if not self._parts:
@@ -93,8 +99,11 @@ class _DetAccum:
             self._weights = det["weights"]
 
     def result(self):
-        self._flush()
-        if not self._timeline:
+        try:
+            self._flush()
+        except Exception as e:
+            self.error = e.__class__.__name__
+        if self.error or not self._timeline:
             return None
         return {"timeline": self._timeline, "weights": self._weights}
 
@@ -106,7 +115,6 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     size as they pass (~150 KB/frame u8 instead of holding full-res
     frames) and scored in bounded slabs (_DetAccum) — numerics identical
     to the batch path (same cv2 resize, scoring.py)."""
-    from avd_tpu.models import scoring
     from avd_tpu.ops import video_features
     from avd_tpu.oracle import video_ref
 
@@ -116,8 +124,7 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     cap.release()
 
     holder: Dict[str, Any] = {}
-    det_on = _detector_on()
-    det = _DetAccum(scoring.input_size()) if det_on else None
+    det = _DetAccum() if _detector_on() else None
 
     def chunks():
         for fb in video_reader.iter_sampled_chunks(path, meta, chunk=32,
@@ -152,6 +159,8 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
                                   fb.duration)
     if det is not None:
         _apply_detector(out, det.result())
+        if det.error:
+            out["detector_error"] = det.error
     out["timeline_ai"] = out["timeline"]
     return out
 
@@ -192,10 +201,14 @@ def analyze_batch(fb: video_reader.FrameBatch) -> Dict[str, Any]:
         gray = video_features._to_gray_host(fb.frames)
         out["summary"]["freq"] = forensic_freq.summarize(gray)
 
-    # optional neural detector (north-star slot; parity mode bypasses it)
+    # optional neural detector (north-star slot; parity mode bypasses it;
+    # additive — a detector failure must not kill the heuristic analysis)
     from avd_tpu.models import scoring
     if scoring.enabled():
-        _apply_detector(out, scoring.detector_timeline(fb.frames))
+        try:
+            _apply_detector(out, scoring.detector_timeline(fb.frames))
+        except Exception as e:
+            out["detector_error"] = e.__class__.__name__
 
     # timeline and timeline_ai must alias (video.py:83).
     out["timeline_ai"] = out["timeline"]

@@ -124,3 +124,28 @@ def test_streaming_detector_matches_batch(small_detector, tmp_path,
     np.testing.assert_allclose(out_s["timeline"], out_b["timeline"],
                                rtol=0, atol=1e-6)
     assert out_s["timeline_ai"] is out_s["timeline"]  # alias contract
+
+
+@pytest.mark.parametrize("stream", ["1", "0"])
+def test_detector_failure_is_additive(tmp_path, monkeypatch, stream):
+    """A broken detector config (unloadable checkpoint) must NOT kill the
+    heuristic analysis: the timeline stays real, 'detector' is absent,
+    and detector_error names the failure — on both paths."""
+    from avd_tpu.analyzers import video
+    from avd_tpu.ingest import probe
+
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_CKPT", str(tmp_path / "nonexistent"))
+    monkeypatch.setenv("AVD_STREAM", stream)
+    scoring._bundle.cache_clear()
+    try:
+        clip = fixtures.spliced_clip(90, 96)
+        path = fixtures.write_video(tmp_path / "d.mp4", clip, fps=30.0)
+        meta = probe.probe_basic_meta(path)
+        out = video.analyze(path, meta)
+        assert "detector" not in out
+        assert "detector_error" in out
+        assert len(out["timeline"]) == 3  # real heuristic result
+        assert any(abs(v - 0.5) > 1e-9 for v in out["timeline"])
+    finally:
+        scoring._bundle.cache_clear()
