@@ -89,6 +89,13 @@ def _warmup() -> None:
                     fm = vf._compiled_prep_stacked_packed(m, full)
                     sp = np.broadcast_to(packed, (m,) + packed.shape)
                     np.asarray(fm(jnp.asarray(sp)))
+        from avd_tpu.models import scoring
+        if scoring.enabled():
+            # load the checkpoint + compile the first scoring bucket so
+            # the first detector-enabled request doesn't pay model load
+            # (other power-of-two buckets compile on demand — plain XLA,
+            # seconds, well inside the timeout)
+            scoring.detector_timeline(np.zeros((1, 64, 64, 3), np.uint8))
         print(f"[worker {os.getpid()}] warmup complete", flush=True)
     except Exception as e:  # warmup must never kill a worker
         print(f"[worker {os.getpid()}] warmup skipped: {e!r}", flush=True)

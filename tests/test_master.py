@@ -276,3 +276,33 @@ def test_sighup_rolling_restart(tmp_path):
             except subprocess.TimeoutExpired:
                 proc.kill()
     assert proc.returncode == 0
+
+
+def test_warmup_covers_detector(monkeypatch):
+    """AVD_DETECTOR=1 at boot: warmup must load/compile the scoring
+    bundle so the first live request doesn't pay model load."""
+    from avd_tpu.models import scoring
+    from avd_tpu.serve import master
+
+    calls = []
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_WARMUP", "1")
+    monkeypatch.delenv("AVD_BACKEND", raising=False)
+    monkeypatch.setattr(scoring, "detector_timeline",
+                        lambda frames: calls.append(frames.shape))
+    master._warmup()
+    assert calls == [(1, 64, 64, 3)]
+
+
+def test_warmup_skips_detector_when_disabled(monkeypatch):
+    from avd_tpu.models import scoring
+    from avd_tpu.serve import master
+
+    calls = []
+    monkeypatch.delenv("AVD_DETECTOR", raising=False)
+    monkeypatch.setenv("AVD_WARMUP", "1")
+    monkeypatch.delenv("AVD_BACKEND", raising=False)
+    monkeypatch.setattr(scoring, "detector_timeline",
+                        lambda frames: calls.append(frames.shape))
+    master._warmup()
+    assert calls == []
