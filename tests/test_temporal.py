@@ -127,3 +127,35 @@ def test_scoring_integration_temporal(monkeypatch):
         assert all(0.0 <= p <= 1.0 for p in out["timeline"])
     finally:
         scoring._bundle.cache_clear()
+
+
+def test_temporal_streaming_matches_batch_single_slab(tmp_path,
+                                                      monkeypatch):
+    """With the whole clip inside one scoring slab, the streaming path
+    feeds the temporal model the identical frame sequence — detector
+    timelines must match the batch path exactly.  (Across multiple
+    slabs the temporal context is the slab window by design —
+    models/scoring.py docstring.)"""
+    from avd_tpu.analyzers import video
+    from avd_tpu.ingest import probe
+    from avd_tpu.models import scoring
+    from tests import fixtures
+
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_ARCH", "temporal")
+    monkeypatch.setenv("AVD_DETECTOR_SLAB", "256")
+    scoring._bundle.cache_clear()
+    try:
+        clip = fixtures.spliced_clip(90, 96)
+        path = fixtures.write_video(tmp_path / "t.mp4", clip, fps=30.0)
+        meta = probe.probe_basic_meta(path)
+        monkeypatch.setenv("AVD_STREAM", "1")
+        out_s = video.analyze(path, meta)
+        monkeypatch.setenv("AVD_STREAM", "0")
+        out_b = video.analyze(path, meta)
+        assert "detector" in out_s and "detector" in out_b
+        np.testing.assert_allclose(out_s["detector"]["timeline"],
+                                   out_b["detector"]["timeline"],
+                                   rtol=0, atol=1e-6)
+    finally:
+        scoring._bundle.cache_clear()
