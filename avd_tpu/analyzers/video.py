@@ -37,8 +37,8 @@ def _backend() -> str:
 def analyze(path: str, meta: dict) -> Dict[str, Any]:
     # features needing the full decoded batch (freq forensics, change
     # gating) use the batch path; plain analysis — including the neural
-    # detector, which accumulates per-chunk 224px resizes — streams with
-    # bounded memory
+    # detector, which accumulates per-chunk model-input-size resizes —
+    # streams with bounded memory
     whole_batch_features = (os.getenv("AVD_FREQ_FORENSICS", "0") == "1"
                             or os.getenv("AVD_CHANGE_GATE", "0") == "1")
     if _backend() != "oracle" and os.getenv("AVD_STREAM", "1") == "1" \
@@ -59,9 +59,12 @@ class _DetAccum:
     """Bounded-memory detector scoring for the streaming path: resized
     chunks accumulate up to one slab (AVD_DETECTOR_SLAB frames, default
     256 — ~38 MB u8 at 224 px), which is scored while the stream keeps
-    draining.  Per-frame scores are independent of batch grouping, so
-    slab-wise scoring is numerically identical to one whole-clip batch;
-    host memory and each device put stay O(slab), not O(clip)."""
+    draining.  Numerically identical to the batch path for BOTH family
+    kinds: per-frame families are independent of grouping, and
+    clip-based families score in fixed masked windows (scoring.py)
+    whose boundaries this accumulator aligns to by flushing only whole
+    windows mid-stream.  Host memory and each device put stay O(slab),
+    not O(clip)."""
 
     def __init__(self):
         self.slab = max(1, int(os.getenv("AVD_DETECTOR_SLAB", "256")))
@@ -80,27 +83,38 @@ class _DetAccum:
             self._parts.append(part)
             self._n += part.shape[0]
             if self._n >= self.slab:
-                self._flush()
+                self._flush(final=False)
         except Exception as e:  # detector is additive — never kill the
             self.error = e.__class__.__name__  # heuristic analysis
             self._parts = []
 
-    def _flush(self) -> None:
+    def _flush(self, final: bool = True) -> None:
         if not self._parts:
             return
         import numpy as np
 
         from avd_tpu.models import scoring
-        det = scoring.detector_timeline_resized(
-            np.concatenate(self._parts))
-        self._parts, self._n = [], 0
+        acc = np.concatenate(self._parts)
+        # clip-based families score in fixed windows (scoring.py); only
+        # flush whole windows mid-stream so slab boundaries land on
+        # window boundaries and streaming == batch exactly
+        win = scoring.clip_window()
+        if not final and win and acc.shape[0] % win:
+            cut = (acc.shape[0] // win) * win
+            if cut == 0:
+                return
+            acc, rest = acc[:cut], acc[cut:]
+            self._parts, self._n = [rest], rest.shape[0]
+        else:
+            self._parts, self._n = [], 0
+        det = scoring.detector_timeline_resized(acc)
         if det is not None:
             self._timeline.extend(det["timeline"])
             self._weights = det["weights"]
 
     def result(self):
         try:
-            self._flush()
+            self._flush(final=True)
         except Exception as e:
             self.error = e.__class__.__name__
         if self.error or not self._timeline:
@@ -112,9 +126,10 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     """File path analysis with chunked decode overlapped against async
     device dispatch — memory-bounded for long/4K clips.  When the neural
     detector is on, each chunk's frames are resized to the model input
-    size as they pass (~150 KB/frame u8 instead of holding full-res
-    frames) and scored in bounded slabs (_DetAccum) — numerics identical
-    to the batch path (same cv2 resize, scoring.py)."""
+    size as they pass (small u8 tiles instead of holding full-res
+    frames) and scored in bounded slabs (_DetAccum, which keeps the
+    result numerically identical to the batch path — see its
+    docstring)."""
     from avd_tpu.ops import video_features
     from avd_tpu.oracle import video_ref
 

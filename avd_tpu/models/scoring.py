@@ -16,11 +16,15 @@ contract:
 * ``AVD_DETECTOR_QUANT=1`` serves the int8 W8A8 path (models/quant.py),
   single-chip (it takes precedence over mesh sharding — the TP specs
   describe the f32 tree; vit/cnn only);
-* ``AVD_DETECTOR_ARCH=temporal`` scores the sampled frames as ONE
+* ``AVD_DETECTOR_ARCH=temporal`` scores the sampled frames as a
   sequence (models/temporal.py::forward_clip) — each frame's score sees
-  its neighbors.  Temporal context spans the scored window: the power-
-  of-two bucket (and, in streaming, the AVD_DETECTOR_SLAB slab), padded
-  with last-frame repeats.
+  its neighbors.  Scoring runs in fixed ``AVD_TEMPORAL_WINDOW`` windows
+  (default 32 frames ≈ 16 s at the 2 fps sampling — the trained
+  sequence-length range) with padded tail positions MASKED out of
+  attention, so scores are on-distribution, independent of clip length,
+  and serving compiles exactly one scoring shape.  Streaming slabs
+  (AVD_DETECTOR_SLAB, a multiple of the window by default) subdivide
+  into the same windows, so streaming and batch paths agree exactly.
 """
 
 from __future__ import annotations
@@ -102,8 +106,14 @@ def _bundle():
     # scale axis is time — forward_time_sharded — not data/model)
     clip_based = hasattr(detector, "forward_clip")
 
-    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1" and arch in ("vit",
-                                                                "cnn"):
+    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1" and arch not in (
+            "vit", "cnn"):
+        # silently serving bf16 while the operator believes int8 is on
+        # would corrupt capacity planning; fail loudly (the detector
+        # slot is additive — analysis proceeds with detector_error)
+        raise ValueError(
+            f"AVD_DETECTOR_QUANT=1 supports vit/cnn, not {arch!r}")
+    if os.getenv("AVD_DETECTOR_QUANT", "0") == "1":
         # int8 W8A8 serving mode (models/quant.py): per-channel int8
         # weights + dynamic per-token int8 activations on the MXU.
         # Takes precedence over mesh sharding — the TP specs describe
@@ -146,11 +156,27 @@ def _bundle():
 
         return cfg, params, probs, source, mesh.shape["data"]
 
-    fwd = detector.forward_clip if clip_based else detector.forward
+    if clip_based:
+        # fixed-window scoring: attention runs over AVD_TEMPORAL_WINDOW
+        # frames (default 32 — the trained sequence-length range) with
+        # padded tail positions MASKED out of the softmax, so scores are
+        # on-distribution and independent of clip length / padding, and
+        # serving compiles exactly one scoring shape.
+        window = max(1, int(os.getenv("AVD_TEMPORAL_WINDOW", "32")))
+
+        @jax.jit
+        def probs(params, frames_f32, n_valid):
+            mask = jnp.arange(frames_f32.shape[0]) < n_valid
+            logits = detector.forward_clip(params, frames_f32, cfg,
+                                           mask=mask)[:, 0]
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        probs.clip_window = window
+        return cfg, params, probs, source, 1
 
     @jax.jit
     def probs(params, frames_f32):
-        logits = fwd(params, frames_f32, cfg)[:, 0]
+        logits = detector.forward(params, frames_f32, cfg)[:, 0]
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     return cfg, params, probs, source, 1
@@ -159,6 +185,12 @@ def _bundle():
 def input_size() -> int:
     """Model input resolution (loads the bundle)."""
     return _bundle()[0].image_size
+
+
+def clip_window():
+    """Fixed scoring-window length for clip-based families (None for
+    per-frame families, whose scores don't depend on grouping)."""
+    return getattr(_bundle()[2], "clip_window", None)
 
 
 def resize_frames(frames_bgr: np.ndarray, size: int) -> np.ndarray:
@@ -208,6 +240,22 @@ def _score_prepped(batch: np.ndarray) -> dict:
     import jax.numpy as jnp
 
     cfg, params, probs_fn, source, min_batch = _bundle()
+    window = getattr(probs_fn, "clip_window", None)
+    if window:
+        # clip-based family: fixed-size masked windows (one compile
+        # shape; padded positions excluded from attention)
+        outs = []
+        for s in range(0, batch.shape[0], window):
+            chunk = batch[s:s + window]
+            k = chunk.shape[0]
+            if k < window:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], window - k, axis=0)])
+            p = np.asarray(probs_fn(params, jnp.asarray(chunk),
+                                    jnp.int32(k)))[:k]
+            outs.append(p)
+        return {"timeline": [float(x) for x in np.concatenate(outs)],
+                "weights": source}
     # pad to a power-of-two bucket for stable compile shapes (and to a
     # multiple of the mesh's data axis when inference is sharded)
     n = batch.shape[0]

@@ -205,6 +205,22 @@ def _encode_frames(params, frames: jnp.ndarray,
     return emb.reshape(b, t, cfg.width)
 
 
+def masked_attention(mask: jnp.ndarray):
+    """Full attention with invalid KEY positions masked out of the
+    softmax (``mask``: [B, T] bool, True = real frame).  Queries at
+    padded positions still produce (garbage) outputs — callers discard
+    them — but real frames' scores are unaffected by the padding."""
+    def attn(q, k, v):
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        s = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * scale
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhts,bhsd->bhtd", p,
+                          v.astype(jnp.float32)).astype(q.dtype)
+    return attn
+
+
 def _block(x: jnp.ndarray, lp: Dict[str, Any], cfg: TemporalConfig,
            attn_fn) -> jnp.ndarray:
     """Pre-LN transformer block on the [B, T, d] bf16 stream.  The
@@ -239,24 +255,33 @@ def _head(params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward(params: Dict[str, Any], frames: jnp.ndarray,
-            cfg: TemporalConfig, t0: int = 0) -> jnp.ndarray:
+            cfg: TemporalConfig, t0: int = 0,
+            mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """[B, T, H, W, 3] float in [0,1] → [B, T, n_classes] f32 logits
-    (one score per frame, attention over the whole sequence)."""
+    (one score per frame, attention over the whole sequence).
+
+    ``mask`` ([B, T] bool, True = real frame) excludes padded positions
+    from every attention softmax, so real frames' scores are independent
+    of how much tail padding a bucketed batch carries."""
     from avd_tpu.parallel import attention as pa
 
     x = _encode_frames(params, frames, cfg)
     x = x + _time_encoding(jnp.int32(t0), x.shape[1],
                            cfg.width).astype(x.dtype)[None]
+    attn = pa.full_attention if mask is None else masked_attention(mask)
     for lp in params["layers"]:
-        x = _block(x, lp, cfg, pa.full_attention)
+        x = _block(x, lp, cfg, attn)
     return _head(params, x)
 
 
 def forward_clip(params: Dict[str, Any], frames: jnp.ndarray,
-                 cfg: TemporalConfig) -> jnp.ndarray:
+                 cfg: TemporalConfig,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Family-API adapter for serving: [N, H, W, 3] sampled frames of
-    ONE clip → [N, n_classes] logits (the batch axis is time here)."""
-    return forward(params, frames[None], cfg)[0]
+    ONE clip → [N, n_classes] logits (the batch axis is time here).
+    ``mask``: [N] bool validity (see ``forward``)."""
+    return forward(params, frames[None], cfg,
+                   mask=None if mask is None else mask[None])[0]
 
 
 def forward_time_sharded(params: Dict[str, Any], frames: jnp.ndarray,
@@ -332,13 +357,17 @@ def synthetic_sequences(rng: np.random.Generator, batch: int, t: int,
 
     frames = np.empty((batch, t, size, size, 3), np.float32)
     labels = np.zeros((batch, t), np.int32)
-    # draw a pool of frames of each class, then splice
-    need = batch * t
-    pool_f, pool_l = synthetic_batch(rng, max(2 * need // 3, 8), size)
+    # draw a pool of frames of each class, then splice.  Consumption
+    # wraps with modulo, so ~60% of the total per class suffices; top up
+    # in need-proportional chunks (a 32-frame top-up loop on the single
+    # shared host core was measured as hundreds of extra generator calls)
+    need = max(8, (batch * t * 3) // 5)
+    pool_f, pool_l = synthetic_batch(rng, 2 * need, size)
     ai_pool = pool_f[pool_l == 1]
     cam_pool = pool_f[pool_l == 0]
     while len(ai_pool) < need or len(cam_pool) < need:
-        f2, l2 = synthetic_batch(rng, 32, size)
+        short = need - min(len(ai_pool), len(cam_pool))
+        f2, l2 = synthetic_batch(rng, max(32, 2 * short), size)
         ai_pool = np.concatenate([ai_pool, f2[l2 == 1]])
         cam_pool = np.concatenate([cam_pool, f2[l2 == 0]])
     ai_i = cam_i = 0

@@ -159,3 +159,53 @@ def test_temporal_streaming_matches_batch_single_slab(tmp_path,
                                    rtol=0, atol=1e-6)
     finally:
         scoring._bundle.cache_clear()
+
+
+def test_masked_forward_ignores_padding():
+    """Real frames' scores must be identical whether the sequence is
+    padded (with the pad masked out of attention) or not."""
+    cfg, params, frames = _setup(b=1, t=6)
+    ref = np.asarray(temporal.forward(params, frames, cfg))[:, :6]
+    pad = jnp.concatenate([frames, frames[:, -1:].repeat(4, axis=1)],
+                          axis=1)
+    mask = jnp.arange(10) < 6
+    out = np.asarray(temporal.forward(params, pad, cfg,
+                                      mask=mask[None]))[:, :6]
+    np.testing.assert_allclose(ref, out, atol=1e-5)
+    # and WITHOUT the mask the padding contaminates real scores
+    out_nomask = np.asarray(temporal.forward(params, pad, cfg))[:, :6]
+    assert np.abs(ref - out_nomask).max() > 1e-5
+
+
+def test_quant_rejected_for_temporal(monkeypatch):
+    from avd_tpu.models import scoring
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_ARCH", "temporal")
+    monkeypatch.setenv("AVD_DETECTOR_QUANT", "1")
+    scoring._bundle.cache_clear()
+    try:
+        with pytest.raises(ValueError, match="vit/cnn"):
+            scoring._bundle()
+    finally:
+        scoring._bundle.cache_clear()
+
+
+def test_window_scoring_independent_of_clip_length(monkeypatch):
+    """Fixed-window scoring: the first window's scores must be identical
+    whether the clip has 40 or 72 frames (with AVD_TEMPORAL_WINDOW=8) —
+    i.e. no cross-window or padding leakage."""
+    from avd_tpu.models import scoring
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_ARCH", "temporal")
+    monkeypatch.setenv("AVD_TEMPORAL_WINDOW", "8")
+    scoring._bundle.cache_clear()
+    try:
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (72, 48, 64, 3)).astype(np.uint8)
+        short = scoring.detector_timeline(frames[:40])
+        long = scoring.detector_timeline(frames)
+        np.testing.assert_allclose(short["timeline"][:40],
+                                   long["timeline"][:40],
+                                   rtol=0, atol=1e-6)
+    finally:
+        scoring._bundle.cache_clear()

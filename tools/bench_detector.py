@@ -37,6 +37,8 @@ def bench(config: str) -> float:
     fam = models.family(arch)
     cfg = fam.make_config("full")
     params = fam.init_params(jax.random.PRNGKey(0), cfg)
+    if config.endswith("-int8") and arch not in ("vit", "cnn"):
+        raise SystemExit(f"{config}: int8 PTQ supports vit/cnn only")
     if config.endswith("-int8"):
         params = quant.quantize_params(params)
         fwd = jax.jit(lambda p, x: jax.nn.sigmoid(
