@@ -128,17 +128,6 @@ def _sep_correlate(img: jnp.ndarray, kv: np.ndarray, kh: np.ndarray,
     return x[:, 0]
 
 
-def _gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
-    """Gaussian smooth as banded-matrix matmuls (MXU) — the 1-channel XLA
-    conv lowering pays heavy fixed costs at small spatial sizes (band.py)."""
-    from avd_tpu.ops import band
-    k = tuple(float(x) for x in _gaussian_blur_kernel(ksize, sigma))
-    h, w = img.shape[-2:]
-    return band.apply_separable(img,
-                                band.correlate_matrix(h, k, "reflect"),
-                                band.correlate_matrix(w, k, "reflect"))
-
-
 def _resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     """Float bilinear resize (cv2 INTER_LINEAR float path) via matmuls."""
     src_h, src_w = img.shape[-2:]

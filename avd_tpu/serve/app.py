@@ -194,7 +194,14 @@ def build_app(analyze_fn=None) -> App:
         try:
             up = files.get("file")
             if up is None:
-                raise HTTPError(415, {"error": "File vuoto o non ricevuto"})
+                # the reference's 415 branch (api.py:238) is dead code:
+                # FastAPI validates `file: UploadFile = File(...)` BEFORE
+                # the route body, so a missing part observably yields the
+                # pydantic 422 — mirror that, not the unreachable branch
+                raise HTTPError(422, [{"type": "missing",
+                                       "loc": ["body", "file"],
+                                       "msg": "Field required",
+                                       "input": None}])
             return Response(run_analysis(up.path))
         finally:
             for f in files.values():  # incl. misnamed/extra spooled parts

@@ -81,25 +81,44 @@ class WindowBatcher:
             self._lock.notify_all()
 
     def _max_batch_for(self, key) -> int:
-        """Fuse only full-bucket prep windows: each (m, n) pair is a
+        """Fuse only full-bucket HOST-PREP windows: each (m, n) pair is a
         distinct stacked device program, and serving warmup
         (master._warmup) can only afford to precompile the full bucket's
         m ladder — a tail-length fused batch would hit a minutes-long
         cold Mosaic compile inside live requests.  Tail windows dispatch
-        singly through the warmed non-stacked program instead."""
+        singly through the warmed non-stacked program.  Device-prep
+        ('gray') windows never fuse at all: their stacked programs'
+        shapes include the clip resolution, which warmup cannot
+        enumerate, so a fused batch would hit the same mid-request
+        cold-compile cliff the prep guard exists to prevent."""
         if key[0] == "prep":
             from avd_tpu.ops import video_features
             if key[1] != video_features._DEFAULT_CHUNK + 1:
                 return 1
-        return self.max_batch
+            return self.max_batch
+        return 1
 
     # ------------------------------------------------------------------
+    _IDLE_EXIT_S = 30.0  # idle workers retire; _enqueue respawns on demand
+
     def _worker(self, key: Tuple[int, int, int]) -> None:
         while True:
             with self._lock:
+                idle_deadline = time.monotonic() + self._IDLE_EXIT_S
                 while not self._queues.get(key) and not self._closed:
+                    if time.monotonic() >= idle_deadline:
+                        # retire instead of polling forever — device-prep
+                        # keys are per-resolution, so a long-lived worker
+                        # would otherwise leak one waking thread per
+                        # resolution ever seen.  Deregistering under the
+                        # lock makes the race with _enqueue safe: either
+                        # it sees us gone and respawns, or we see its job.
+                        self._threads.pop(key, None)
+                        self._queues.pop(key, None)
+                        return
                     self._lock.wait(timeout=1.0)
                 if self._closed and not self._queues.get(key):
+                    self._threads.pop(key, None)
                     return
                 deadline = time.monotonic() + self.window_s
                 maxb = self._max_batch_for(key)

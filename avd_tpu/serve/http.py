@@ -82,12 +82,22 @@ class BodyStream:
         data = self._rfile.read(take)
         self._remaining -= len(data)
         if self._remaining <= 0 or not data:
+            if not data and self._remaining > 0:
+                self.broken = True  # EOF before Content-Length delivered
             self.finished = True
         return data
 
     def _read_chunked(self, n: int) -> bytes:
         if self._chunk_left == 0:
             line = self._rfile.readline(1024)
+            if not line:
+                # connection EOF where a chunk-size line was due: the
+                # upload is TRUNCATED, not complete — treating it as the
+                # final zero chunk would spend a full analysis pass on a
+                # half-written file
+                self.finished = True
+                self.broken = True
+                raise HTTPError(400, {"error": "framing chunked non valido"})
             try:
                 size = int(line.split(b";")[0].strip() or b"0", 16)
             except ValueError:
@@ -109,6 +119,7 @@ class BodyStream:
             self._rfile.read(2)  # chunk-terminating CRLF
         if not data:
             self.finished = True
+            self.broken = True  # EOF inside a declared chunk
         return data
 
     def drain(self, cap: int = 64 * 1024 * 1024) -> bool:
@@ -185,9 +196,14 @@ def parse_multipart(req: Request, max_file_bytes: int,
         buf += chunk
         return True
 
-    # scan to the first boundary
-    while delim not in buf and fill():
-        pass
+    # scan to the first boundary.  The preamble is discardable (RFC 2046)
+    # — keep only a possible partial-delimiter tail so a body that never
+    # contains the boundary can't buffer itself into worker OOM.
+    while delim not in buf:
+        if len(buf) > len(delim):
+            buf = buf[-(len(delim) - 1):]
+        if not fill():
+            break
     if delim not in buf:
         raise HTTPError(422, {"error": "Corpo multipart non valido"})
     buf = buf.split(delim, 1)[1]
@@ -200,9 +216,13 @@ def parse_multipart(req: Request, max_file_bytes: int,
             if buf.startswith(b"--"):
                 break
             buf = buf.lstrip(b"\r\n")
-            # headers
+            # headers — a part whose header block never terminates is
+            # malformed, and letting the scan keep buffering would hold
+            # the whole body in RAM
             while b"\r\n\r\n" not in buf and fill():
-                pass
+                if len(buf) > 64 * 1024:
+                    raise HTTPError(422,
+                                    {"error": "Corpo multipart non valido"})
             if b"\r\n\r\n" not in buf:
                 break
             raw_hdr, buf = buf.split(b"\r\n\r\n", 1)
@@ -244,10 +264,11 @@ def parse_multipart(req: Request, max_file_bytes: int,
                             raise HTTPError(413, too_large_detail())
                         buf = buf[len(emit):]
                         if not fill():
-                            tmp.write(buf)
-                            size += len(buf)
-                            buf = b""
-                            break
+                            # EOF before the part's closing boundary: the
+                            # upload is truncated — reject rather than
+                            # spend an analysis pass on a half-written file
+                            raise HTTPError(
+                                400, {"error": "Corpo multipart non valido"})
                     tmp.close()
                 except BaseException:
                     tmp.close()
@@ -264,10 +285,10 @@ def parse_multipart(req: Request, max_file_bytes: int,
                     if len(buf) > max_file_bytes:
                         raise HTTPError(413, too_large_detail())
                 idx = buf.find(marker)
-                if idx < 0:
-                    value, buf = buf, b""
-                else:
-                    value, buf = buf[:idx], buf[idx + len(marker):]
+                if idx < 0:  # EOF before the closing boundary: truncated
+                    raise HTTPError(
+                        400, {"error": "Corpo multipart non valido"})
+                value, buf = buf[:idx], buf[idx + len(marker):]
                 fields[name] = value.decode("utf-8", "ignore")
     except HTTPError:
         for f in files.values():
@@ -287,7 +308,10 @@ class Response:
         elif content is None:
             self.body = b""
         else:
-            self.body = json.dumps(content).encode()
+            # byte-compatible with the reference's Starlette JSONResponse
+            # (compact separators, raw UTF-8 — api.py responses)
+            self.body = json.dumps(content, ensure_ascii=False,
+                                   separators=(",", ":")).encode("utf-8")
             self.headers.setdefault("Content-Type", "application/json")
 
 

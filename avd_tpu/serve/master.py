@@ -41,6 +41,7 @@ import os
 import random
 import signal
 import sys
+import threading
 import time
 
 from avd_tpu.config import get_config
@@ -128,14 +129,22 @@ def _worker_main(max_requests: int) -> None:
     server.drain_timeout = cfg.graceful_timeout_s
     served = 0
     recycle_asked = False
+    count_lock = threading.Lock()
     orig_dispatch = application.dispatch
 
     def counting_dispatch(req):
         nonlocal served, recycle_asked
-        served += 1
+        # handler threads dispatch concurrently: unsynchronized += loses
+        # increments (late recycle) and two threads could both pass the
+        # recycle_asked check (double signal)
+        with count_lock:
+            served += 1
+            ask = (max_requests and served >= max_requests
+                   and not recycle_asked)
+            if ask:
+                recycle_asked = True
         resp = orig_dispatch(req)
-        if max_requests and served >= max_requests and not recycle_asked:
-            recycle_asked = True
+        if ask:
             master = os.getppid()
             if master > 1:
                 # keep serving; the master SIGTERMs us once the

@@ -52,13 +52,23 @@ def test_batched_matches_unbatched(batch_env):
             np.testing.assert_allclose(pa, qa, rtol=2e-5, atol=1e-5)
 
 
-def test_concurrent_requests_fuse(batch_env):
+def test_concurrent_requests_fuse(batch_env, monkeypatch):
+    """Concurrent HOST-PREP windows (the serving default) fuse into one
+    stacked device call; only full-bucket lengths fuse (warmup covers
+    exactly that m ladder)."""
+    from avd_tpu.ops import video_features
+    monkeypatch.setattr(video_features, "_DEFAULT_CHUNK", 4)  # full n = 5
+    batching.reset_active()
     b = batching.active_batcher()
+    rng = np.random.default_rng(7)
     barrier = threading.Barrier(4)
 
     def client(seed):
+        w320 = rng.integers(0, 256, (5, 320, 320), np.int64) \
+            .astype(np.uint8)
+        w32 = rng.integers(0, 256, (5, 32, 32), np.int64).astype(np.uint8)
         barrier.wait()
-        return b.submit(_window(seed)).result(timeout=120)
+        return b.submit_prep(w320, w32).result(timeout=120)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
         results = list(pool.map(client, range(4)))
@@ -66,6 +76,25 @@ def test_concurrent_requests_fuse(batch_env):
     # all four arrived inside one batch window → they must have fused
     assert b.fused_jobs >= 2, (b.batches_formed, b.fused_jobs)
     assert b.jobs_in == 4
+
+
+def test_device_prep_windows_never_fuse(batch_env):
+    """Gray (device-prep) windows dispatch singly: their stacked
+    programs' shapes include the clip resolution, which warmup cannot
+    enumerate — fusing them would hit a minutes-long cold compile inside
+    live requests (review finding)."""
+    b = batching.active_batcher()
+    barrier = threading.Barrier(3)
+
+    def client(seed):
+        barrier.wait()
+        return b.submit(_window(seed)).result(timeout=120)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(client, range(3)))
+    assert len(results) == 3
+    assert b.fused_jobs == 0
+    assert b.jobs_in == 3
 
 
 def test_prep_jobs_fuse_and_match(batch_env, monkeypatch):

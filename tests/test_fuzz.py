@@ -236,3 +236,69 @@ def test_native_wav_parser_fuzz(tmp_path):
         f"WAV fuzz driver died (rc={proc.returncode}, likely a memory-" \
         f"safety bug in avd_wav_info/decode): {proc.stderr[-2000:]}"
     assert proc.stdout.strip() in ("OK", "SKIP")
+
+
+# ---------------------------------------------------------------------------
+# review-hardening regressions: truncation and unbounded-buffering guards
+# ---------------------------------------------------------------------------
+
+def test_truncated_chunked_upload_is_broken_not_complete():
+    """Connection EOF where a chunk-size line was due must mark the body
+    BROKEN (HTTPError 400), not parse as the final zero chunk — a
+    half-written upload must never get a full analysis pass."""
+    payload = b"X" * 100
+    raw = (b"%x\r\n" % len(payload)) + payload + b"\r\n"  # then EOF
+    stream = ahttp.BodyStream(io.BytesIO(raw), chunked=True)
+    assert stream.read(4096) == payload
+    with pytest.raises(ahttp.HTTPError) as e:
+        stream.read(4096)
+    assert e.value.status == 400
+    assert stream.broken
+
+
+def test_truncated_multipart_file_rejected():
+    """EOF before a file part's closing boundary → 400, spool unlinked."""
+    b = "bnd"
+    body = (f"--{b}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="c.mp4"\r\n\r\n').encode() + b"DATA" * 100  # no close
+    with pytest.raises(ahttp.HTTPError) as e:
+        ahttp.parse_multipart(
+            _mp_request(body, f"multipart/form-data; boundary={b}"),
+            10 ** 6, lambda: {"detail": "x"})
+    assert e.value.status == 400
+
+
+def test_multipart_preamble_cannot_buffer_unbounded():
+    """A body that never contains the boundary must fail with bounded
+    memory (the preamble scan keeps only a partial-delimiter tail)."""
+    class _Counting(io.BytesIO):
+        pass
+
+    body = b"A" * (8 * 1024 * 1024)  # 8 MiB of non-boundary preamble
+    req = _mp_request(body, "multipart/form-data; boundary=never")
+    import tracemalloc
+    tracemalloc.start()
+    with pytest.raises(ahttp.HTTPError) as e:
+        ahttp.parse_multipart(req, 10 ** 6, lambda: {"detail": "x"})
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert e.value.status == 422
+    assert peak < 6 * 1024 * 1024, peak  # well under the 8 MiB body
+
+
+def test_multipart_unterminated_headers_rejected():
+    b = "bnd"
+    body = (f"--{b}\r\n").encode() + b"H: " + b"v" * (2 * 1024 * 1024)
+    with pytest.raises(ahttp.HTTPError) as e:
+        ahttp.parse_multipart(
+            _mp_request(body, f"multipart/form-data; boundary={b}"),
+            10 ** 8, lambda: {"detail": "x"})
+    assert e.value.status in (400, 422)
+
+
+def test_json_response_bytes_match_fastapi():
+    """Response bodies must be byte-compatible with Starlette's
+    JSONResponse: compact separators, raw UTF-8."""
+    r = ahttp.Response({"ok": True, "msg": "qualità"})
+    assert r.body == '{"ok":true,"msg":"qualità"}'.encode("utf-8")

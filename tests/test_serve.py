@@ -192,10 +192,15 @@ def test_analyze_upload_too_large(tmp_path):
 
 
 def test_analyze_missing_file(server):
+    """Missing 'file' part → the pydantic-shaped 422 the reference stack
+    observably returns (its own 415 branch at api.py:238 is dead code —
+    FastAPI validates `File(...)` before the route body runs)."""
     body, headers = _multipart(fields={"other": "x"})
     status, _, data = _request(server, "POST", "/analyze", body, headers)
-    assert status == 415
-    assert json.loads(data)["detail"]["error"] == "File vuoto o non ricevuto"
+    assert status == 422
+    detail = json.loads(data)["detail"]
+    assert detail[0]["loc"] == ["body", "file"]
+    assert detail[0]["msg"] == "Field required"
 
 
 def test_predict_no_input(server):
