@@ -43,16 +43,26 @@ def lib() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
         try:
-            L = ctypes.CDLL(_SO)
-        except OSError:
-            # Truncated/corrupt cached artifact (e.g. a killed compile):
-            # force one rebuild, then give up cleanly.
+            L = _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            # Truncated/corrupt cached artifact (a killed compile), or a
+            # stale one missing a newly-added export (AttributeError at
+            # symbol bind): force one rebuild, then give up cleanly —
+            # callers degrade to the cv2/numpy paths on None.
             if not _build(force=True):
                 return None
             try:
-                L = ctypes.CDLL(_SO)
-            except OSError:
+                L = _bind(ctypes.CDLL(_SO))
+            except (OSError, AttributeError):
                 return None
+        _LIB = L
+        return _LIB
+
+
+def _bind(L):
+    """Register every export's signature; raises AttributeError when the
+    artifact predates an export (handled by lib()'s rebuild)."""
+    if True:
         L.avd_bgr_to_gray_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
         L.avd_bgr_to_gray_u8.restype = None
@@ -82,8 +92,7 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         L.avd_prep320_bgr_batch.restype = None
-        _LIB = L
-        return _LIB
+    return L
 
 
 class WavInfoStruct(ctypes.Structure):

@@ -49,6 +49,17 @@ def so_site(name: str) -> str:
         os.makedirs(d, exist_ok=True)
     except OSError:
         return beside  # last resort; ensure_so will fail cleanly
+    # cache key = SOURCE CONTENT hash, not mtime: wheel-extracted sources
+    # carry the build machine's archive mtimes, which are OLDER than any
+    # previously cached artifact — a pip upgrade would otherwise keep
+    # loading the old binary (or crash on a missing new export) forever
+    try:
+        import hashlib
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:12]
+        name = name.replace(".so", f"-{tag}.so")
+    except OSError:
+        pass  # no source beside the install: fall back to the plain name
     return os.path.join(d, name)
 
 

@@ -87,15 +87,24 @@ def lib() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
         try:
-            L = ctypes.CDLL(_SO)
-        except OSError:
-            # Truncated/corrupt cached artifact: force one rebuild.
+            L = _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            # Truncated/corrupt cached artifact, or a stale one missing a
+            # newly-added export (AttributeError): force one rebuild.
             if not _build(force=True):
                 return None
             try:
-                L = ctypes.CDLL(_SO)
-            except OSError:
+                L = _bind(ctypes.CDLL(_SO))
+            except (OSError, AttributeError):
                 return None
+        _LIB = L
+        return _LIB
+
+
+def _bind(L):
+    """Register exports; AttributeError on a stale artifact is handled by
+    lib()'s rebuild."""
+    if True:
         L.avd_vdec_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                     ctypes.POINTER(MediaInfoStruct)]
         L.avd_vdec_open.restype = ctypes.c_void_p
@@ -123,8 +132,7 @@ def lib() -> Optional[ctypes.CDLL]:
         L.avd_probe.argtypes = [ctypes.c_char_p,
                                 ctypes.POINTER(ProbeInfoStruct)]
         L.avd_probe.restype = ctypes.c_int32
-        _LIB = L
-        return _LIB
+    return L
 
 
 class VideoSampler:

@@ -69,7 +69,9 @@ struct VDec {
   std::vector<RegionPlan> plans;       // one per keyframe region
   int64_t step = 0;
   bool tail_skip = false;              // demux order == display order
-  bool threaded = false;               // frame threading active (delay>0)
+  bool needs_drain = false;            // decoder holds frames in flight
+                                       // (frame threading or B-frame
+                                       // reorder delay)
   // sequential decode state (single demux walk, no seeks)
   bool demux_eof = false;
   bool final_drained = false;
@@ -157,10 +159,17 @@ void* avd_vdec_open(const char* path, int64_t step, AvdMediaInfo* info) {
       v->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     }
     if (avcodec_open2(v->dec, codec, nullptr) < 0) goto fail;
-    // Frame threading holds ~thread_count frames in flight; the walk's
-    // skip logic must drain them at region boundaries (see below).
-    v->threaded = (v->dec->active_thread_type & FF_THREAD_FRAME) != 0 &&
-                  v->dec->thread_count > 1;
+    // Frame threading holds ~thread_count frames in flight, and B-frame
+    // streams hold frames in the reorder buffer; in both cases the
+    // walk's skip logic must DRAIN them at region boundaries — a plain
+    // flush would discard pending sampled frames (display-late frames
+    // of the last sent region), silently returning fewer samples than
+    // the cv2 walk.
+    v->needs_drain =
+        ((v->dec->active_thread_type & FF_THREAD_FRAME) != 0 &&
+         v->dec->thread_count > 1) ||
+        v->dec->has_b_frames > 0 ||
+        st->codecpar->video_delay > 0;
 
     // Pass 1: packet index (no decode).
     std::vector<PacketIndex> pkts;
@@ -372,11 +381,12 @@ int64_t avd_vdec_read_sampled(void* handle, int64_t max_out,
     if (skip) {
       av_packet_unref(pkt);
       if (v->sent_since_flush) {
-        if (v->threaded) {
-          // a frame-threaded decoder still holds ~thread_count frames in
-          // flight; a plain flush would DISCARD them (losing samples) and
-          // the tail-skip no-flush path would strand them.  Enter drain
-          // mode, receive everything, then reset for the next region.
+        if (v->needs_drain) {
+          // the decoder still holds frames in flight (threading pipeline
+          // or B-frame reorder buffer); a plain flush would DISCARD them
+          // (losing samples) and the tail-skip no-flush path would
+          // strand them.  Enter drain mode, receive everything, then
+          // reset for the next region.
           // A failed EOF-send means the flush below would drop in-flight
           // samples — mark strict failure so the cv2 walk takes over.
           if (avcodec_send_packet(v->dec, nullptr) < 0) {

@@ -629,52 +629,50 @@ static double lap_var_one(const uint8_t* g, int64_t h, int64_t w) {
 // cache-hot).  Area semantics match cv2 INTER_AREA's fractional-overlap
 // weighting; output rounded half-to-even like cv2's saturate_cast.
 // ---------------------------------------------------------------------------
-static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
-                             int64_t w, double* lap_var,
-                             uint8_t* __restrict area32) {
-  constexpr int kOut = 32;
-  // per-axis fractional span weights
-  const double sy = static_cast<double>(h) / kOut;
-  const double sx = static_cast<double>(w) / kOut;
-
-  // Precompute per-output-column spans: [px0]·w0 + full[px0+1, px1) + [px1]·w1
-  // so the inner row loop is 32 vectorizable integer run-sums, not a
-  // per-pixel double-precision scatter.
+// ---------------------------------------------------------------------------
+// Shared 32×32 INTER_AREA machinery.  The span weights and the final
+// rounding replicate cv2 exactly (integer ratios use the fixed-point
+// round-half-away path, fractional ratios float accumulation + cvRound
+// half-to-even); the three per-frame sweeps below fold rows through this
+// ONE copy of the logic so a parity-sensitive edit cannot silently
+// diverge them (lap_area32_frame / prep320_frame / prep320_bgr_frame).
+// ---------------------------------------------------------------------------
+struct Area32 {
+  static constexpr int kOut = 32;
   int64_t px0[kOut], px1[kOut];
   double w0[kOut], w1[kOut];
-  for (int ox = 0; ox < kOut; ++ox) {
-    const double lo = ox * sx;
-    const double hi = (ox + 1) * sx;
-    int64_t p0 = static_cast<int64_t>(std::floor(lo));
-    int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
-    if (p1 >= w) p1 = w - 1;
-    if (p1 == p0) {
-      px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
-    } else {
+  double sy = 0.0, sx = 0.0;
+  double band_rows[kOut][kOut];
+  bool use_sad = false;
+
+  void init(int64_t h, int64_t w) {
+    sy = static_cast<double>(h) / kOut;
+    sx = static_cast<double>(w) / kOut;
+    // Per-output-column spans: [px0]·w0 + full[px0+1, px1) + [px1]·w1 so
+    // the row fold is 32 vectorizable integer run-sums, not a per-pixel
+    // double-precision scatter.
+    for (int ox = 0; ox < kOut; ++ox) {
+      const double lo = ox * sx;
+      const double hi = (ox + 1) * sx;
+      int64_t p0 = static_cast<int64_t>(std::floor(lo));
+      int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
+      if (p1 >= w) p1 = w - 1;
+      if (p1 == p0) {
+        px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
+      } else {
       px0[ox] = p0; px1[ox] = p1;
-      w0[ox] = (p0 + 1) - lo;
-      w1[ox] = hi - p1;
+        w0[ox] = (p0 + 1) - lo;
+        w1[ox] = hi - p1;
+      }
     }
+    std::memset(band_rows, 0, sizeof(band_rows));
+#ifdef AVD_HAVE_AVX512_TARGET
+    use_sad = cpu_has_avx512bw();
+#endif
   }
 
-  double col_acc[kOut];            // per output column, current band
-  double band_rows[kOut][kOut];    // [oy][ox] accumulated weighted sums
-  std::memset(band_rows, 0, sizeof(band_rows));
-
-  int64_t sum = 0, sumsq = 0;
-  for (int64_t y = 0; y < h; ++y) {
-    const uint8_t* row = gray + y * w;
-    // --- laplacian part ---
-    const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
-    const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
-    lap_row_dispatch(up, row, dn, w, &sum, &sumsq);
-
-    // --- area part: 32 run-sums over this row ---
-#ifdef AVD_HAVE_AVX512_TARGET
-    const bool use_sad = cpu_has_avx512bw();
-#else
-    const bool use_sad = false;
-#endif
+  void add_row(const uint8_t* row, int64_t y) {
+    double col_acc[kOut];
     for (int ox = 0; ox < kOut; ++ox) {
       const int64_t p0 = px0[ox], p1 = px1[ox];
       if (p1 == p0) {
@@ -706,19 +704,36 @@ static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
     }
   }
 
-  const double inv_area = 1.0 / (sy * sx);
-  // cv2 INTER_AREA rounding: integer ratios go through the fixed-point
-  // path ((sum + area/2) >> shift → round half away from zero); the
-  // fractional path uses float accumulation + cvRound (half to even).
-  const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
-  for (int oy = 0; oy < kOut; ++oy)
-    for (int ox = 0; ox < kOut; ++ox) {
-      const double v = band_rows[oy][ox] * inv_area;
-      double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
-      if (r < 0) r = 0;
-      if (r > 255) r = 255;
-      area32[oy * kOut + ox] = static_cast<uint8_t>(r);
-    }
+  void finalize(int64_t h, int64_t w, uint8_t* area32) const {
+    const double inv_area = 1.0 / (sy * sx);
+    const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
+    for (int oy = 0; oy < kOut; ++oy)
+      for (int ox = 0; ox < kOut; ++ox) {
+        const double v = band_rows[oy][ox] * inv_area;
+        double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
+        if (r < 0) r = 0;
+        if (r > 255) r = 255;
+        area32[oy * kOut + ox] = static_cast<uint8_t>(r);
+      }
+  }
+};
+
+static void lap_area32_frame(const uint8_t* __restrict gray, int64_t h,
+                             int64_t w, double* lap_var,
+                             uint8_t* __restrict area32) {
+  Area32 area;
+  area.init(h, w);
+
+  int64_t sum = 0, sumsq = 0;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = gray + y * w;
+    // --- laplacian part ---
+    const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
+    const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
+    lap_row_dispatch(up, row, dn, w, &sum, &sumsq);
+    area.add_row(row, y);
+  }
+  area.finalize(h, w, area32);
 
   const double n = static_cast<double>(h) * w;
   const double mean = sum / n;
@@ -760,31 +775,9 @@ static void prep320_frame(const uint8_t* __restrict gray, int64_t h,
                           const int32_t* ax1, const int32_t* cy,
                           const int32_t* by0, const int32_t* by1,
                           const uint8_t* row_needed) {
-  constexpr int kOut = 32;
   constexpr int kLin = 320;
-  const double sy = static_cast<double>(h) / kOut;
-  const double sx = static_cast<double>(w) / kOut;
-
-  int64_t px0[kOut], px1[kOut];
-  double w0[kOut], w1[kOut];
-  for (int ox = 0; ox < kOut; ++ox) {
-    const double lo = ox * sx;
-    const double hi = (ox + 1) * sx;
-    int64_t p0 = static_cast<int64_t>(std::floor(lo));
-    int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
-    if (p1 >= w) p1 = w - 1;
-    if (p1 == p0) {
-      px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
-    } else {
-      px0[ox] = p0; px1[ox] = p1;
-      w0[ox] = (p0 + 1) - lo;
-      w1[ox] = hi - p1;
-    }
-  }
-
-  double col_acc[kOut];
-  double band_rows[kOut][kOut];
-  std::memset(band_rows, 0, sizeof(band_rows));
+  Area32 area;
+  area.init(h, w);
 
   int32_t hring[2][kLin];   // horizontally resampled rows (ring)
   int64_t hring_idx[2] = {-1, -1};
@@ -796,40 +789,7 @@ static void prep320_frame(const uint8_t* __restrict gray, int64_t h,
     const uint8_t* up = gray + (y == 0 ? 1 : y - 1) * w;
     const uint8_t* dn = gray + (y == h - 1 ? h - 2 : y + 1) * w;
     lap_row_dispatch(up, row, dn, w, &sum, &sumsq);
-
-#ifdef AVD_HAVE_AVX512_TARGET
-    const bool use_sad = cpu_has_avx512bw();
-#else
-    const bool use_sad = false;
-#endif
-    for (int ox = 0; ox < kOut; ++ox) {
-      const int64_t p0 = px0[ox], p1 = px1[ox];
-      if (p1 == p0) {
-        col_acc[ox] = row[p0] * w0[ox];
-        continue;
-      }
-      int32_t run = 0;
-      if (use_sad) {
-#ifdef AVD_HAVE_AVX512_TARGET
-        if (p1 > p0 + 1) run = byte_run_sum_avx512(row + p0 + 1, p1 - p0 - 1);
-#endif
-      } else {
-        for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
-      }
-      col_acc[ox] = run + row[p0] * w0[ox] + row[p1] * w1[ox];
-    }
-    int oy = static_cast<int>(y / sy);
-    if (oy >= kOut) oy = kOut - 1;
-    const double rsplit = static_cast<double>(oy + 1) * sy;
-    if (static_cast<double>(y + 1) <= rsplit || oy == kOut - 1) {
-      for (int c = 0; c < kOut; ++c) band_rows[oy][c] += col_acc[c];
-    } else {
-      const double top = rsplit - y;
-      for (int c = 0; c < kOut; ++c) {
-        band_rows[oy][c] += col_acc[c] * top;
-        if (oy + 1 < kOut) band_rows[oy + 1][c] += col_acc[c] * (1.0 - top);
-      }
-    }
+    area.add_row(row, y);
 
     // --- 320×320 bilinear: resample this row if any output needs it ---
     if (row_needed[y]) {
@@ -857,16 +817,7 @@ static void prep320_frame(const uint8_t* __restrict gray, int64_t h,
     }
   }
 
-  const double inv_area = 1.0 / (sy * sx);
-  const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
-  for (int oy = 0; oy < kOut; ++oy)
-    for (int ox = 0; ox < kOut; ++ox) {
-      const double v = band_rows[oy][ox] * inv_area;
-      double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
-      if (r < 0) r = 0;
-      if (r > 255) r = 255;
-      area32[oy * kOut + ox] = static_cast<uint8_t>(r);
-    }
+  area.finalize(h, w, area32);
 
   const double n = static_cast<double>(h) * w;
   const double mean = sum / n;
@@ -886,75 +837,18 @@ static void prep320_bgr_frame(const uint8_t* __restrict bgr, int64_t h,
                               const int32_t* by0, const int32_t* by1,
                               const uint8_t* row_needed,
                               uint8_t* ring /* [3*w] */) {
-  constexpr int kOut = 32;
   constexpr int kLin = 320;
-  const double sy = static_cast<double>(h) / kOut;
-  const double sx = static_cast<double>(w) / kOut;
-
-  int64_t px0[kOut], px1[kOut];
-  double w0[kOut], w1[kOut];
-  for (int ox = 0; ox < kOut; ++ox) {
-    const double lo = ox * sx;
-    const double hi = (ox + 1) * sx;
-    int64_t p0 = static_cast<int64_t>(std::floor(lo));
-    int64_t p1 = static_cast<int64_t>(std::ceil(hi)) - 1;
-    if (p1 >= w) p1 = w - 1;
-    if (p1 == p0) {
-      px0[ox] = p0; px1[ox] = p1; w0[ox] = hi - lo; w1[ox] = 0.0;
-    } else {
-      px0[ox] = p0; px1[ox] = p1;
-      w0[ox] = (p0 + 1) - lo;
-      w1[ox] = hi - p1;
-    }
-  }
-
-  double col_acc[kOut];
-  double band_rows[kOut][kOut];
-  std::memset(band_rows, 0, sizeof(band_rows));
+  Area32 area;
+  area.init(h, w);
 
   int32_t hring[2][kLin];
   int oy_lin = 0;
   int64_t sum = 0, sumsq = 0;
 
-#ifdef AVD_HAVE_AVX512_TARGET
-  const bool use_sad = cpu_has_avx512bw();
-#else
-  const bool use_sad = false;
-#endif
-
   for (int64_t y = 0; y < h; ++y) {
     uint8_t* row = ring + (y % 3) * w;
     gray_span(bgr + y * w * 3, row, 0, w);
-
-    // --- area part on the fresh gray row ---
-    for (int ox = 0; ox < kOut; ++ox) {
-      const int64_t p0 = px0[ox], p1 = px1[ox];
-      if (p1 == p0) {
-        col_acc[ox] = row[p0] * w0[ox];
-        continue;
-      }
-      int32_t run = 0;
-      if (use_sad) {
-#ifdef AVD_HAVE_AVX512_TARGET
-        if (p1 > p0 + 1) run = byte_run_sum_avx512(row + p0 + 1, p1 - p0 - 1);
-#endif
-      } else {
-        for (int64_t x = p0 + 1; x < p1; ++x) run += row[x];
-      }
-      col_acc[ox] = run + row[p0] * w0[ox] + row[p1] * w1[ox];
-    }
-    int oy = static_cast<int>(y / sy);
-    if (oy >= kOut) oy = kOut - 1;
-    const double rsplit = static_cast<double>(oy + 1) * sy;
-    if (static_cast<double>(y + 1) <= rsplit || oy == kOut - 1) {
-      for (int c = 0; c < kOut; ++c) band_rows[oy][c] += col_acc[c];
-    } else {
-      const double top = rsplit - y;
-      for (int c = 0; c < kOut; ++c) {
-        band_rows[oy][c] += col_acc[c] * top;
-        if (oy + 1 < kOut) band_rows[oy + 1][c] += col_acc[c] * (1.0 - top);
-      }
-    }
+    area.add_row(row, y);
 
     // --- bilinear 320 on the fresh gray row ---
     if (row_needed[y]) {
@@ -993,16 +887,7 @@ static void prep320_bgr_frame(const uint8_t* __restrict bgr, int64_t h,
     }
   }
 
-  const double inv_area = 1.0 / (sy * sx);
-  const bool integer_ratio = (h % kOut == 0) && (w % kOut == 0);
-  for (int oy = 0; oy < kOut; ++oy)
-    for (int ox = 0; ox < kOut; ++ox) {
-      const double v = band_rows[oy][ox] * inv_area;
-      double r = integer_ratio ? std::floor(v + 0.5) : std::nearbyint(v);
-      if (r < 0) r = 0;
-      if (r > 255) r = 255;
-      area32[oy * kOut + ox] = static_cast<uint8_t>(r);
-    }
+  area.finalize(h, w, area32);
 
   const double n = static_cast<double>(h) * w;
   const double mean = sum / n;
@@ -1096,7 +981,6 @@ void avd_laplacian_var(const uint8_t* gray, int64_t n_frames, int64_t h,
                        int64_t w, double* out, int n_threads) {
   const int nt = std::max(1, std::min<int>(n_threads, 64));
   std::vector<std::thread> workers;
-  std::vector<int64_t> next(1, 0);
   workers.reserve(nt);
   auto work = [&](int t) {
     for (int64_t i = t; i < n_frames; i += nt)

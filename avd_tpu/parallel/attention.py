@@ -63,8 +63,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     m0, l0, a0 = (jax.lax.pcast(x, (axis,), to="varying")
                   for x in (m0, l0, a0))
 
-    def step(carry, _):
-        kb, vb, m, l, acc = carry
+    def fold(kb, vb, m, l, acc):
         s = jnp.einsum("bhtd,bhsd->bhts", qf,
                        kb.astype(jnp.float32)) * scale
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
@@ -73,12 +72,21 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         l = l * corr + jnp.sum(p, axis=-1)
         acc = acc * corr[..., None] + \
             jnp.einsum("bhts,bhsd->bhtd", p, vb.astype(jnp.float32))
+        return m_new, l, acc
+
+    def step(carry, _):
+        kb, vb, m, l, acc = carry
+        m, l, acc = fold(kb, vb, m, l, acc)
         kb = jax.lax.ppermute(kb, axis, perm)
         vb = jax.lax.ppermute(vb, axis, perm)
-        return (kb, vb, m_new, l, acc), None
+        return (kb, vb, m, l, acc), None
 
-    (_, _, _, l, acc), _ = jax.lax.scan(step, (k, v, m0, l0, a0), None,
-                                        length=n_shards)
+    # n_shards-1 fold+rotate steps, then fold the final block WITHOUT
+    # rotating — the last hop's blocks would land in a discarded carry,
+    # a full K+V of pure wasted ICI traffic per call
+    (kb, vb, m, l, acc), _ = jax.lax.scan(step, (k, v, m0, l0, a0), None,
+                                          length=n_shards - 1)
+    _, l, acc = fold(kb, vb, m, l, acc)
     return (acc / l[..., None]).astype(q.dtype)
 
 
