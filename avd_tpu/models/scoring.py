@@ -75,9 +75,13 @@ def _default_preset(arch: str) -> str:
 
 
 def _shipped_ckpt(arch: str, preset: str):
-    if preset != "small":
+    if preset == "small":
+        path = _SHIPPED.get(arch)
+    elif arch == "vit" and preset == "full":
+        # the serving-size 224px ViT also ships trained
+        path = os.path.join(_WEIGHTS_DIR, "detector_full")
+    else:
         return None
-    path = _SHIPPED.get(arch)
     return path if path and os.path.isdir(path) else None
 
 
