@@ -149,3 +149,23 @@ def test_detector_failure_is_additive(tmp_path, monkeypatch, stream):
         assert any(abs(v - 0.5) > 1e-9 for v in out["timeline"])
     finally:
         scoring._bundle.cache_clear()
+
+
+def test_shipped_ckpt_resolution(tmp_path, monkeypatch):
+    """Per-(family, preset) shipped-checkpoint lookup: small presets map
+    to their family dirs; vit/full maps to detector_full (auto-loads if
+    ever trained on a real host); everything else has no shipped ckpt."""
+    monkeypatch.setattr(scoring, "_WEIGHTS_DIR", str(tmp_path))
+    monkeypatch.setattr(scoring, "_SHIPPED",
+                        {a: str(tmp_path / n) for a, n in
+                         (("vit", "detector_small"), ("cnn", "cnn_small"),
+                          ("temporal", "temporal_small"))})
+    assert scoring._shipped_ckpt("vit", "full") is None  # not trained
+    (tmp_path / "detector_full").mkdir()
+    assert scoring._shipped_ckpt("vit", "full") == str(
+        tmp_path / "detector_full")
+    assert scoring._shipped_ckpt("cnn", "full") is None
+    assert scoring._shipped_ckpt("vit", "small") is None  # dir absent
+    (tmp_path / "detector_small").mkdir()
+    assert scoring._shipped_ckpt("vit", "small") == str(
+        tmp_path / "detector_small")
