@@ -35,6 +35,26 @@ def _expand(paths):
             yield p
 
 
+def emit_jsonl(pairs, out=None) -> int:
+    """Write one ``{"path", "response"|"error"}`` JSON object per line
+    for an iterable of ``(path, response_dict | Exception)`` and return
+    the failure count — the batch-mode contract shared by
+    ``avd-analyze --jsonl`` and ``avd-client analyze --jsonl``."""
+    out = out or sys.stdout
+    failed = 0
+    for path, res in pairs:
+        if isinstance(res, BaseException):
+            failed += 1
+            line = {"path": path,
+                    "error": f"{res.__class__.__name__}: {res}"}
+        else:
+            line = {"path": path, "response": res}
+        json.dump(line, out)
+        out.write("\n")
+        out.flush()
+    return failed
+
+
 def _warm(log) -> None:
     """Load the device programs BEFORE the timed analyzers: the first
     execution per process pays the remote program load (minutes on a
@@ -83,17 +103,14 @@ def main(argv=None) -> int:
         sys.stdout.write("\n")
         return 0
 
-    failed = 0
-    for path in files:
-        try:
-            line = {"path": path, "response": pipeline.analyze_path(path)}
-        except Exception as e:  # batch keeps going; record the failure
-            failed += 1
-            line = {"path": path, "error": f"{e.__class__.__name__}: {e}"}
-        json.dump(line, sys.stdout)
-        sys.stdout.write("\n")
-        sys.stdout.flush()
-    return 0 if failed == 0 else 1
+    def pairs():
+        for path in files:
+            try:
+                yield path, pipeline.analyze_path(path)
+            except Exception as e:  # batch keeps going; record it
+                yield path, e
+
+    return 0 if emit_jsonl(pairs()) == 0 else 1
 
 
 if __name__ == "__main__":

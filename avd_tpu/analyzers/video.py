@@ -133,11 +133,6 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
     from avd_tpu.ops import video_features
     from avd_tpu.oracle import video_ref
 
-    cap = video_reader.open_capture(path)
-    if cap is None:
-        return _empty_result()
-    cap.release()
-
     holder: Dict[str, Any] = {}
     det = _DetAccum() if _detector_on() else None
 
@@ -159,9 +154,15 @@ def _analyze_streaming(path: str, meta: dict) -> Dict[str, Any]:
             return _empty_result()
         return analyze_batch(fb)
     fb = holder.get("fb")
-    if fb is None:  # zero decodable frames
+    if fb is None:
+        # no frames came out — distinguish "container can't be opened"
+        # (reference returns the EMPTY result, video.py:12-13) from
+        # "opened but zero decodable frames".  Probing only on this rare
+        # path keeps the hot path at zero extra container opens.
         import cv2
-        c = cv2.VideoCapture(path)
+        c = video_reader.open_capture(path)
+        if c is None:
+            return _empty_result()
         fps = meta.get("fps") or c.get(cv2.CAP_PROP_FPS) or 0.0
         w = meta.get("width") or int(c.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
         h = meta.get("height") or int(c.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)

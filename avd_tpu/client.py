@@ -52,9 +52,12 @@ class APIError(ClientError):
     e.g. the 413 ``{"error": "File troppo grande", "limit_bytes": …}``
     contract from api.py:101-102."""
 
-    def __init__(self, status: int, detail: Any):
+    def __init__(self, status: int, detail: Any,
+                 retry_after: Optional[float] = None):
         self.status = status
         self.detail = detail
+        # parsed Retry-After header on load-shed 503s (serve/app.py)
+        self.retry_after = retry_after
         super().__init__(f"HTTP {status}: {detail}")
 
 
@@ -230,7 +233,13 @@ class Client:
     def _finish(self, resp) -> Any:
         body = self._decode(resp)
         if not (200 <= resp.status < 300):
-            raise APIError(resp.status, body)
+            ra = None
+            try:
+                h = resp.getheader("Retry-After")
+                ra = float(h) if h else None
+            except (ValueError, TypeError):
+                pass
+            raise APIError(resp.status, body, retry_after=ra)
         return body
 
     def _get(self, path: str) -> Any:
@@ -259,8 +268,20 @@ class Client:
                            f"multipart/form-data; boundary={stream.boundary}")
             conn.putheader("Content-Length", str(stream.content_length))
             conn.endheaders()
-            for chunk in stream.chunks():
-                conn.send(chunk)
+            try:
+                for chunk in stream.chunks():
+                    conn.send(chunk)
+            except OSError as send_err:
+                # the server may have ANSWERED early and closed its read
+                # side (413 after the size cap, 503 load shed) — surface
+                # that definitive response instead of masking it as a
+                # transport error (the APIError(413) contract above)
+                try:
+                    return self._finish(conn.getresponse())
+                except APIError:
+                    raise
+                except Exception:
+                    raise send_err
             return self._finish(conn.getresponse())
         except APIError:
             raise
@@ -352,7 +373,8 @@ class Client:
             return AnalysisResult(self._post_form("/predict", {"url": url}))
         raise ValueError("predict() needs a file or a url")
 
-    def analyze_many(self, paths, workers: int = 4):
+    def analyze_many(self, paths, workers: int = 4,
+                     shed_retry_s: float = 60.0):
         """Concurrent fan-out over ``paths`` (order preserved): returns a
         list of ``(path, AnalysisResult | Exception)``.
 
@@ -360,8 +382,11 @@ class Client:
         parallel; on the server side concurrent requests land in the
         cross-request batcher (serve/batching.py) and share stacked
         device programs — client fan-out and server batching compose.
-        Per-file failures are returned, not raised, so one bad clip
-        doesn't abort a fleet sweep.
+        That composition includes LOAD SHEDDING: a 503 + Retry-After
+        (AVD_MAX_INFLIGHT, shed before the upload is spooled — safe to
+        retry) is retried for up to ``shed_retry_s`` seconds per file
+        instead of being recorded as a failure.  Other per-file failures
+        are returned, not raised, so one bad clip doesn't abort a sweep.
         """
         import concurrent.futures as cf
 
@@ -369,10 +394,22 @@ class Client:
         out = [None] * len(paths)
 
         def one(i: int) -> None:
-            try:
-                out[i] = (paths[i], self.analyze(paths[i]))
-            except Exception as e:  # recorded per-file, sweep continues
-                out[i] = (paths[i], e)
+            budget = max(0.0, shed_retry_s)
+            while True:
+                try:
+                    out[i] = (paths[i], self.analyze(paths[i]))
+                    return
+                except APIError as e:
+                    if e.status == 503 and budget > 0:
+                        wait = min(e.retry_after or 1.0, budget)
+                        time.sleep(wait)
+                        budget -= wait
+                        continue
+                    out[i] = (paths[i], e)
+                    return
+                except Exception as e:  # recorded per-file
+                    out[i] = (paths[i], e)
+                    return
 
         with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
             list(ex.map(one, range(len(paths))))
@@ -469,18 +506,10 @@ def main(argv=None) -> int:
         sys.stdout.write("\n")
         return 0
 
-    failed = 0
-    for path, res in c.analyze_many(files, workers=args.workers):
-        if isinstance(res, Exception):
-            failed += 1
-            line = {"path": path,
-                    "error": f"{res.__class__.__name__}: {res}"}
-        else:
-            line = {"path": path, "response": res.raw}
-        json.dump(line, sys.stdout)
-        sys.stdout.write("\n")
-        sys.stdout.flush()
-    return 0 if failed == 0 else 1
+    from avd_tpu.analyze import emit_jsonl
+    pairs = ((path, res if isinstance(res, Exception) else res.raw)
+             for path, res in c.analyze_many(files, workers=args.workers))
+    return 0 if emit_jsonl(pairs) == 0 else 1
 
 
 if __name__ == "__main__":

@@ -14,17 +14,34 @@ import dataclasses
 import os
 
 
+def _warn_bad(name: str, raw: str, default) -> None:
+    """A malformed numeric knob silently running with its default hides
+    operator typos (the reference fails fast at import with int('100M');
+    we stay up but say so loudly)."""
+    import sys
+    print(f"[avd_tpu.config] ignoring malformed {name}={raw!r}; "
+          f"using default {default}", file=sys.stderr, flush=True)
+
+
 def _env_int(name: str, default: int) -> int:
+    raw = os.getenv(name)
+    if raw is None:
+        return default
     try:
-        return int(os.getenv(name, str(default)))
+        return int(raw)
     except ValueError:
+        _warn_bad(name, raw, default)
         return default
 
 
 def _env_float(name: str, default: float) -> float:
+    raw = os.getenv(name)
+    if raw is None:
+        return default
     try:
-        return float(os.getenv(name, str(default)))
+        return float(raw)
     except ValueError:
+        _warn_bad(name, raw, default)
         return default
 
 
@@ -70,6 +87,12 @@ class Config:
     workers: int = 1
     threads: int = 1
     graceful_timeout_s: int = 30
+    # gunicorn_conf.py:9 — a worker whose heartbeat goes stale for this
+    # long is SIGKILLed and respawned (gunicorn's hang-kill timer;
+    # 0 disables).  Our worker heartbeats from a dedicated thread, so a
+    # long device compile in a handler thread does NOT trip it — only a
+    # wedged process does.
+    worker_timeout_s: int = 180
     keepalive_s: int = 2
     max_requests: int = 200
     max_requests_jitter: int = 50
@@ -105,6 +128,7 @@ class Config:
             workers=_env_int("WEB_CONCURRENCY", 1),
             threads=_env_int("GUNICORN_THREADS", 1),
             graceful_timeout_s=_env_int("GUNICORN_GRACEFUL_TIMEOUT", 30),
+            worker_timeout_s=_env_int("GUNICORN_TIMEOUT", 180),
             keepalive_s=_env_int("GUNICORN_KEEPALIVE", 2),
             max_requests=_env_int("GUNICORN_MAX_REQUESTS", 200),
             max_requests_jitter=_env_int("GUNICORN_MAX_REQUESTS_JITTER", 50),

@@ -81,14 +81,32 @@ def _neutral_video(meta: dict, exc: BaseException) -> Dict[str, Any]:
             "timeline_ai": [0.5] * tlen}
 
 
-def _run_safe(fn, path: str, meta: dict, neutral, err_key: str,
-              tb_key: str, timeout_s: float):
-    """Run an analyzer with timeout + neutral-fallback (api.py:118-140)."""
+def _spawn_safe(fn, path: str, meta: dict):
+    """Start an analyzer on its own daemon thread.  Spawn failure (thread
+    exhaustion under load) is part of the error-isolation contract — it
+    must produce the neutral fallback, not fail the request — so it is
+    returned as a value for _finish_safe to translate."""
+    try:
+        return _DaemonTask(fn, path, meta)
+    except Exception as e:  # e.g. RuntimeError("can't start new thread")
+        return e
+
+
+def _finish_safe(task, meta: dict, neutral, err_key: str,
+                 tb_key: str, deadline: float):
+    """Collect an analyzer result with timeout + neutral-fallback
+    (api.py:118-140).  ``deadline`` is shared by both analyzers: they
+    start together, so each still gets the full per-analyzer window the
+    reference grants its sequential awaits."""
+    import time
+
     cfg = get_config()
     hints_extra: Dict[str, Any] = {}
-    task = _DaemonTask(fn, path, meta)
     try:
-        return task.result(timeout=timeout_s), hints_extra
+        if isinstance(task, BaseException):
+            raise task
+        return task.result(
+            timeout=max(0.0, deadline - time.monotonic())), hints_extra
     except Exception as e:
         hints_extra[err_key] = f"{e.__class__.__name__}"
         if cfg.debug:
@@ -131,15 +149,19 @@ def analyze_path(path: str, source_url: Optional[str] = None,
         hints = hx.compute_hints(meta, path)
 
     with timer.stage("analyzers"):
-        timeout_s = _analyzer_timeout(cfg)
-        audio_t = _DaemonTask(
-            _run_safe, audio_an.analyze, path, meta, _neutral_audio,
-            "audio_error", "audio_traceback", timeout_s)
-        video_t = _DaemonTask(
-            _run_safe, video_an.analyze, path, meta, _neutral_video,
-            "video_error", "video_traceback", timeout_s)
-        audio, a_hint = audio_t.result()
-        video, v_hint = video_t.result()
+        import time as _time
+        deadline = _time.monotonic() + _analyzer_timeout(cfg)
+        # one daemon thread per analyzer (they run concurrently — an
+        # improvement over the reference's sequential awaits); the shared
+        # deadline still grants each the full per-analyzer window
+        audio_t = _spawn_safe(audio_an.analyze, path, meta)
+        video_t = _spawn_safe(video_an.analyze, path, meta)
+        audio, a_hint = _finish_safe(audio_t, meta, _neutral_audio,
+                                     "audio_error", "audio_traceback",
+                                     deadline)
+        video, v_hint = _finish_safe(video_t, meta, _neutral_video,
+                                     "video_error", "video_traceback",
+                                     deadline)
     hints.update(a_hint)
     hints.update(v_hint)
     COUNTERS.inc("frames_analyzed",

@@ -50,6 +50,31 @@ _SIG_RECYCLE = signal.SIGRTMIN + 1   # worker → master: budget reached
 _SIG_READY = signal.SIGRTMIN + 2     # worker → master: bound + warm
 
 
+def _hb_path(pid: int) -> str:
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), f"avd_hb_{pid}")
+
+
+def _start_heartbeat() -> None:
+    """Worker-side heartbeat for the GUNICORN_TIMEOUT hang-kill timer
+    (gunicorn_conf.py:9): a dedicated daemon thread touches this pid's
+    heartbeat file every 2 s.  A handler thread blocked in a long device
+    program keeps beating; only a wedged PROCESS stops — which is exactly
+    what gunicorn's timer reaps."""
+    path = _hb_path(os.getpid())
+
+    def beat() -> None:
+        while True:
+            try:
+                with open(path, "w") as f:
+                    f.write(str(time.time()))
+            except OSError:
+                pass
+            time.sleep(2.0)
+
+    threading.Thread(target=beat, daemon=True, name="avd-heartbeat").start()
+
+
 def _warmup() -> None:
     """Pre-compile the default device programs before accepting traffic.
 
@@ -121,6 +146,7 @@ def _worker_main(max_requests: int) -> None:
     from avd_tpu.serve import http as http_mod
 
     cfg = get_config()
+    _start_heartbeat()
     _warmup()
     host, _, port = cfg.bind.rpartition(":")
     application = app_mod.build_app()
@@ -241,6 +267,10 @@ class Master:
                 return
             if not pid:
                 return
+            try:
+                os.unlink(_hb_path(pid))
+            except OSError:
+                pass
             born = self.workers.pop(pid, None)
             code = os.waitstatus_to_exitcode(_status)
             if code:
@@ -357,6 +387,29 @@ class Master:
         print(f"[master] SIGHUP: config reloaded, rolling {rolled} "
               "workers (zero-downtime)", flush=True)
 
+    def _reap_stuck(self) -> None:
+        """GUNICORN_TIMEOUT (gunicorn_conf.py:9): SIGKILL a worker whose
+        heartbeat file hasn't been touched for worker_timeout_s — the
+        wedged-process reaper gunicorn's timer provides.  The SIGCHLD →
+        _reap path respawns it."""
+        t = self.cfg.worker_timeout_s
+        if t <= 0:
+            return
+        now = time.time()
+        for pid, born in list(self.workers.items()):
+            try:
+                age = now - os.path.getmtime(_hb_path(pid))
+            except OSError:
+                age = now - born  # no beat ever written: age since spawn
+            if age > t:
+                print(f"[master] worker {pid} heartbeat stale "
+                      f"{age:.0f}s > GUNICORN_TIMEOUT={t} — SIGKILL",
+                      flush=True)
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+
     def run(self) -> int:
         cfg = self.cfg
         sigs = {signal.SIGTERM, signal.SIGINT, signal.SIGCHLD,
@@ -369,8 +422,12 @@ class Master:
         for _ in range(self.n_workers):
             self.spawn()
 
+        last_hb_check = time.time()
         while self.running:
             info = signal.sigtimedwait(sigs, 0.5)
+            if time.time() - last_hb_check >= 5.0:
+                self._reap_stuck()
+                last_hb_check = time.time()
             if info is None:
                 self._reap()  # belt and braces
                 continue

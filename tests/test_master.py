@@ -306,3 +306,49 @@ def test_warmup_skips_detector_when_disabled(monkeypatch):
                         lambda frames: calls.append(frames.shape))
     master._warmup()
     assert calls == []
+
+
+def test_reap_stuck_kills_stale_heartbeat(monkeypatch, tmp_path):
+    """GUNICORN_TIMEOUT: a worker whose heartbeat file is stale gets
+    SIGKILLed; a fresh one survives; 0 disables the timer."""
+    import os as _os
+    import time as _time
+
+    from avd_tpu.serve import master as m
+
+    killed = []
+    monkeypatch.setattr(m.os, "kill",
+                        lambda pid, sig: killed.append((pid, sig)))
+    monkeypatch.setattr(m, "_hb_path",
+                        lambda pid: str(tmp_path / f"hb_{pid}"))
+
+    mm = m.Master.__new__(m.Master)
+    mm.cfg = type("C", (), {"worker_timeout_s": 10})()
+    now = _time.time()
+    mm.workers = {111: now - 300.0, 222: now - 300.0, 333: now - 3.0}
+    # 111: stale beat; 222: fresh beat; 333: no beat but just spawned
+    for pid, age in ((111, 60.0), (222, 1.0)):
+        p = tmp_path / f"hb_{pid}"
+        p.write_text("x")
+        _os.utime(p, (now - age, now - age))
+
+    mm._reap_stuck()
+    assert [(pid, sig) for pid, sig in killed] == [(111, m.signal.SIGKILL)]
+
+    killed.clear()
+    mm.cfg = type("C", (), {"worker_timeout_s": 0})()
+    mm._reap_stuck()
+    assert killed == []
+
+
+def test_config_warns_on_malformed_env(monkeypatch, capsys):
+    from avd_tpu import config as cfg_mod
+    monkeypatch.setenv("MAX_UPLOAD_BYTES", "100M")
+    cfg_mod.reset_config()
+    try:
+        c = cfg_mod.get_config()
+        assert c.max_upload_bytes == 50 * 1024 * 1024  # default kept
+        assert "MAX_UPLOAD_BYTES" in capsys.readouterr().err
+    finally:
+        monkeypatch.delenv("MAX_UPLOAD_BYTES")
+        cfg_mod.reset_config()
