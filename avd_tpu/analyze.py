@@ -77,7 +77,10 @@ def main(argv=None) -> int:
                     help="video/audio files (or directories) to analyze")
     ap.add_argument("--backend", choices=["jax", "oracle"], default=None,
                     help="compute backend override (env AVD_BACKEND)")
-    ap.add_argument("--indent", type=int, default=None)
+    ap.add_argument("--indent", type=int, default=None,
+                    help="pretty-print the single-input envelope "
+                         "(incompatible with --jsonl, which is always "
+                         "compact one-object-per-line)")
     ap.add_argument("--jsonl", action="store_true",
                     help="batch mode: one {\"path\", \"response\"} JSON "
                          "object per line; analysis errors become "
@@ -93,6 +96,9 @@ def main(argv=None) -> int:
         return 2
     if len(files) > 1 and not args.jsonl:
         ap.error("multiple inputs need --jsonl")
+    if args.jsonl and args.indent is not None:
+        ap.error("--indent does not apply to --jsonl "
+                 "(output is compact one-object-per-line)")
 
     if os.getenv("AVD_BACKEND", "jax") == "jax":
         _warm(lambda m: print(m, file=sys.stderr, flush=True))

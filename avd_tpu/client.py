@@ -460,7 +460,10 @@ def main(argv=None) -> int:
                     help="one {path, response|error} JSON object per line")
     an.add_argument("--workers", type=int, default=4,
                     help="concurrent uploads in batch mode (default 4)")
-    an.add_argument("--indent", type=int, default=None)
+    an.add_argument("--indent", type=int, default=None,
+                    help="pretty-print the single-input envelope "
+                         "(incompatible with --jsonl, which is always "
+                         "compact one-object-per-line)")
     au = sub.add_parser("analyze-url")
     au.add_argument("url")
     au.add_argument("--indent", type=int, default=None)
@@ -495,6 +498,9 @@ def main(argv=None) -> int:
         return 2
     if len(files) > 1 and not args.jsonl:
         ap.error("multiple inputs need --jsonl")
+    if args.jsonl and args.indent is not None:
+        ap.error("--indent does not apply to --jsonl "
+                 "(output is compact one-object-per-line)")
 
     if not args.jsonl:
         try:

@@ -51,6 +51,15 @@ class ViTConfig:
     # the cost of recomputing each block's forward in the backward pass —
     # the standard TPU HBM-for-FLOPs trade for deep/big-batch configs.
     remat: bool = False
+    # Roll the layer stack into ONE lax.scan over stacked parameters:
+    # the program contains a single compiled block instead of `depth`
+    # unrolled copies, shrinking HLO size and compile time ~depth-fold.
+    # Numerically identical (same blocks, same order); composes with
+    # remat (scan-of-checkpointed-block = the standard big-model train
+    # recipe).  This is what lets the 224px full-preset TRAIN program
+    # fit through this environment's remote compile helper, which dies
+    # on the unrolled 224px train step (BASELINE.md round-2 blocker).
+    scan: bool = False
 
     @property
     def tokens(self) -> int:
@@ -216,7 +225,37 @@ def embed(params: Dict[str, Any], frames: jnp.ndarray,
     return x + params["pos_emb"].astype(jnp.bfloat16)[None]
 
 
-def _moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig, ap):
+# Snap-to-grid routing granularity (bins of 1/_ROUTER_GRID in logit
+# space) — see the comment in _moe_mlp.  Coarser bins are MORE stable
+# across layouts (fewer edge-band logits) at the cost of coarser
+# decisions for sub-delta gaps, which softmax barely distinguishes anyway.
+_ROUTER_GRID = 4.0
+
+
+def _router_features(params: Dict[str, Any], frames: jnp.ndarray,
+                     cfg: ViTConfig) -> jnp.ndarray:
+    """Layout-stable pre-gating features for MoE routing: the embedding
+    recomputed in f32 END-TO-END (same parameters), through a
+    parameter-free LN.
+
+    The serving embedding is bf16 (MXU path), and a bf16 matmul's
+    accumulation order varies between compiled programs/layouts — ~5e-3
+    logit noise, enough to flip a discrete top-1 decision on near-tie
+    tokens.  In f32 the reduction-order noise is ~1e-7, six orders of
+    magnitude below the routing grid (1/_ROUTER_GRID), so the snapped
+    argmax in ``_moe_mlp`` is layout- and program-stable in practice
+    (asserted exactly by tests/test_moe.py::test_moe_routing_is_layout_
+    stable).  Cost: one extra small f32 matmul per forward.
+    """
+    x = patchify(frames.astype(jnp.float32), cfg.patch)
+    x = x @ params["patch_w"] + params["patch_b"]
+    cls = jnp.broadcast_to(params["cls_tok"], (x.shape[0], 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_emb"][None]
+    return _ln(x, jnp.float32(1.0), jnp.float32(0.0))
+
+
+def _moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig, ap,
+             router_x: Optional[jnp.ndarray] = None):
     """Switch-style top-1 MoE MLP over per-example token groups.
 
     ``h``: [B, T, d] bf16 (post-LN).  Returns ([B, T, d] bf16, aux)
@@ -227,12 +266,28 @@ def _moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig, ap):
     axis of the weights is sharded over 'model' (param_specs); the
     dispatch/combine einsums contract it, so GSPMD places the experts'
     FLOPs on their owners and inserts the collectives.
+
+    ``router_x`` is the PRE-GATING input: layout-stable f32 routing
+    features computed once per forward (``_router_features`` — the
+    embedding recomputed in f32).  Routing from the post-attention ``h``
+    instead (the ``None`` fallback, used by direct unit-test calls) is
+    classic per-layer Switch routing, but h carries ~1e-2 bf16
+    reduction-order noise between layouts, and a discrete top-1 decision
+    turns that epsilon into an O(1) output delta on near-tie tokens.
+    Pre-gating makes EP/TP parity exact on the routing decision;
+    per-layer router weights keep layers' assignments independent.
     """
     E, C = cfg.n_experts, cfg.expert_capacity
-    hf = h.astype(jnp.float32)
-    logits = hf @ lp["router_w"]                       # [B, T, E] f32
+    rx = h.astype(jnp.float32) if router_x is None else router_x
+    logits = rx @ lp["router_w"]                       # [B, T, E] f32
     gate = jax.nn.softmax(logits, axis=-1)
-    eidx = jnp.argmax(gate, axis=-1)                   # [B, T]
+    # Second line of defense: snap the f32 logits to a coarse grid before
+    # the argmax, so residual cross-layout noise (if any platform breaks
+    # the embedding's bitwise stability) collapses near-ties into EXACT
+    # ties, which argmax breaks deterministically (lowest expert index)
+    # on every layout.  The gradient path (gate softmax) uses the
+    # unquantized logits — training numerics are untouched.
+    eidx = jnp.argmax(jnp.round(logits * _ROUTER_GRID), axis=-1)  # [B, T]
     onehot = jax.nn.one_hot(eidx, E, dtype=jnp.float32)
     gateval = jnp.sum(gate * onehot, axis=-1)          # [B, T]
     # position of each token within its expert's per-example queue
@@ -264,11 +319,13 @@ def _moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig, ap):
 
 def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
                       ap=lambda x, s: x,
-                      res_spec: P = P("data", None, None)):
+                      res_spec: P = P("data", None, None),
+                      router_x: Optional[jnp.ndarray] = None):
     """One transformer block on the bf16 residual stream ``x``
     ([B, T, width]) → ``(x', aux)`` where ``aux`` is the MoE
     load-balancing loss (0.0 for dense layers); ``ap`` injects GSPMD
-    activation constraints.
+    activation constraints.  ``router_x`` is the layout-stable
+    pre-gating input for MoE layers (see ``_moe_mlp``).
 
     ``res_spec`` is the residual stream's layout between the TP regions:
     the default replicates tokens (classic Megatron TP, all-reduce on
@@ -302,7 +359,7 @@ def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
             lp["ln2_bias"]).astype(jnp.bfloat16)
     if "router_w" in lp:
-        y, aux = _moe_mlp(h, lp, cfg, ap)
+        y, aux = _moe_mlp(h, lp, cfg, ap, router_x)
         return x + ap(y, res_spec), aux
     h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
         lp["mlp_in_b"].astype(jnp.bfloat16)
@@ -405,15 +462,27 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
     x = embed(params, frames, cfg)
     x = ap(x, res_spec)
 
+    # Pre-gating features for MoE routing, computed ONCE in f32 so every
+    # layer's top-1 routing decision is layout-stable (see
+    # _router_features / _moe_mlp).
+    router_x = (ap(_router_features(params, frames, cfg), res_spec)
+                if cfg.n_experts else None)
+
     def body(x, lp):
-        return block_forward_aux(x, lp, cfg, ap, res_spec)
+        return block_forward_aux(x, lp, cfg, ap, res_spec, router_x)
 
     if cfg.remat:
         body = jax.checkpoint(body)
-    aux_total = jnp.float32(0.0)
-    for lp in params["layers"]:
-        x, aux = body(x, lp)
-        aux_total = aux_total + aux
+    if cfg.scan:
+        from avd_tpu.parallel import pipeline as pl
+        stacked = pl.stack_layers(params["layers"])
+        x, auxs = jax.lax.scan(body, x, stacked)
+        aux_total = jnp.sum(auxs)
+    else:
+        aux_total = jnp.float32(0.0)
+        for lp in params["layers"]:
+            x, aux = body(x, lp)
+            aux_total = aux_total + aux
     logits = head(params, x)
     return (logits, aux_total) if with_aux else logits
 
@@ -557,6 +626,36 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh, n_micro: int = 0,
 def make_optimizer(lr: float = 3e-4):
     import optax
     return optax.adamw(lr, weight_decay=1e-4)
+
+
+def interpolate_pos_emb(params: Dict[str, Any],
+                        cfg_new: ViTConfig) -> Dict[str, Any]:
+    """Adapt a checkpoint trained at one resolution to ``cfg_new``'s
+    token grid by bilinearly resizing the positional-embedding table
+    (the standard ViT resolution-transfer recipe — DeiT/ViT fine-tune
+    at higher res this way).  The cls token's embedding is kept; the
+    patch grid part is reshaped to [g, g, d], resized to the new grid,
+    and flattened back.  All other parameters are resolution-independent
+    (patchify keeps the same patch size), so this is the ONLY change
+    needed to serve/fine-tune a 128px-trained model at 224px."""
+    pos = np.asarray(params["pos_emb"], np.float32)
+    t_old = pos.shape[0] - 1
+    g_old = int(round(t_old ** 0.5))
+    g_new = cfg_new.image_size // cfg_new.patch
+    if g_old * g_old != t_old:
+        raise ValueError(f"pos_emb grid {t_old} is not square")
+    if g_new * g_new + 1 == pos.shape[0]:
+        return params  # already at the target grid
+    grid = pos[1:].reshape(g_old, g_old, pos.shape[1])
+    resized = jax.image.resize(jnp.asarray(grid),
+                               (g_new, g_new, pos.shape[1]),
+                               method="bilinear")
+    new_pos = jnp.concatenate(
+        [jnp.asarray(pos[:1]),
+         jnp.asarray(resized).reshape(g_new * g_new, pos.shape[1])])
+    out = dict(params)
+    out["pos_emb"] = new_pos
+    return out
 
 
 # ---------------------------------------------------------------------------

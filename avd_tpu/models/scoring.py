@@ -122,6 +122,14 @@ def _bundle():
         # weights + dynamic per-token int8 activations on the MXU.
         # Takes precedence over mesh sharding — the TP specs describe
         # the f32 tree, so the quantized model serves single-chip.
+        if len(jax.devices()) > 1:
+            import warnings
+            warnings.warn(
+                "AVD_DETECTOR_QUANT=1 serves SINGLE-CHIP: the int8 "
+                f"tree has no TP/DP specs, so the other "
+                f"{len(jax.devices()) - 1} visible device(s) sit idle "
+                "for detector scoring. Unset AVD_DETECTOR_QUANT to "
+                "shard bf16 inference over the mesh.", stacklevel=2)
         from avd_tpu.models import quant
         params = quant.quantize_params(params)
         source = f"{source}+int8"

@@ -347,7 +347,7 @@ def make_train_step(cfg: TemporalConfig, optimizer, sharded: bool = False):
 
 
 def synthetic_sequences(rng: np.random.Generator, batch: int, t: int,
-                        size: int):
+                        size: int, families=("blobs",)):
     """Procedural spliced sequences: each clip is camera-like frames
     with a random contiguous AI-like span (or none / all) — per-frame
     labels [batch, t].  Reuses the per-frame curriculum's generators
@@ -362,12 +362,12 @@ def synthetic_sequences(rng: np.random.Generator, batch: int, t: int,
     # in need-proportional chunks (a 32-frame top-up loop on the single
     # shared host core was measured as hundreds of extra generator calls)
     need = max(8, (batch * t * 3) // 5)
-    pool_f, pool_l = synthetic_batch(rng, 2 * need, size)
+    pool_f, pool_l = synthetic_batch(rng, 2 * need, size, families)
     ai_pool = pool_f[pool_l == 1]
     cam_pool = pool_f[pool_l == 0]
     while len(ai_pool) < need or len(cam_pool) < need:
         short = need - min(len(ai_pool), len(cam_pool))
-        f2, l2 = synthetic_batch(rng, max(32, 2 * short), size)
+        f2, l2 = synthetic_batch(rng, max(32, 2 * short), size, families)
         ai_pool = np.concatenate([ai_pool, f2[l2 == 1]])
         cam_pool = np.concatenate([cam_pool, f2[l2 == 0]])
     ai_i = cam_i = 0

@@ -35,54 +35,145 @@ def _smooth(img: np.ndarray, sigma: float) -> np.ndarray:
         return img
 
 
-def synthetic_batch(rng: np.random.Generator, batch: int, size: int):
+def _frame_blobs(rng: np.random.Generator, size: int, ai_like: bool):
+    """Family A — blob scenes; AI cue = Gaussian over-smoothing + mild
+    oversaturation; camera cue = crisp detail + Gaussian sensor noise +
+    sharpening halo (the original round-1 generator)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base = np.zeros((size, size, 3), np.float32)
+    for _ in range(rng.integers(2, 5)):
+        cx, cy = rng.random(2)
+        r = 0.1 + 0.4 * rng.random()
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / r ** 2))
+        base += blob[..., None] * rng.random(3)
+    base += (0.3 * xx * rng.random() + 0.3 * yy * rng.random())[..., None]
+    base /= max(1e-6, base.max())
+    detail = rng.random((size, size, 3)).astype(np.float32)
+    if ai_like:
+        # generator-like: heavy smoothing, weak detail, mild
+        # oversaturation, near-zero sensor noise
+        sigma = 1.2 + 2.0 * rng.random()
+        img = _smooth(base + 0.10 * detail, sigma)
+        img = np.clip(img * (1.05 + 0.15 * rng.random()), 0, 1)
+        img += rng.normal(0, 0.004, img.shape).astype(np.float32)
+    else:
+        # camera-like: crisp detail + per-pixel sensor noise +
+        # mild sharpening halo
+        img = base + (0.15 + 0.2 * rng.random()) * detail
+        img = np.clip(img, 0, 1)
+        blur = _smooth(img, 1.0)
+        img = np.clip(img + (0.3 * rng.random()) * (img - blur), 0, 1)
+        img += rng.normal(0, 0.01 + 0.02 * rng.random(),
+                          img.shape).astype(np.float32)
+    return img
+
+
+def _frame_geometric(rng: np.random.Generator, size: int, ai_like: bool):
+    """Family B — hard-edged scenes (oriented stripes + rectangles);
+    AI cue = BOX-filter smoothing + contrast stretch; camera cue =
+    luminance detail + per-row gain jitter (rolling-shutter-like) +
+    sensor noise.  Same smooth-vs-noisy concept as family A, different
+    scene statistics AND different artifact parameterizations."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base = np.zeros((size, size, 3), np.float32)
+    for _ in range(rng.integers(1, 4)):
+        a, b = rng.normal(0, 6, 2)
+        stripe = 0.5 + 0.5 * np.sin(a * xx + b * yy
+                                    + rng.random() * 6.28)
+        base += (stripe > rng.random())[..., None] * rng.random(3) * 0.6
+    for _ in range(rng.integers(2, 6)):
+        x0, y0 = rng.integers(0, size, 2)
+        w, h = rng.integers(size // 8, size // 2, 2)
+        base[y0:y0 + h, x0:x0 + w] += rng.random(3) * 0.5
+    base = np.clip(base / max(1e-6, base.max()), 0, 1)
+    if ai_like:
+        # box blur (uniform kernel — a different smoothing operator
+        # than family A's Gaussian), then a contrast stretch
+        k = int(rng.integers(2, 5))
+        kern = np.ones(k, np.float32) / k
+        img = base
+        for ax in (0, 1):
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, kern, mode="same"), ax, img)
+        lo, hi = 0.05 * rng.random(), 1.0 - 0.05 * rng.random()
+        img = np.clip((img - lo) / max(1e-6, hi - lo), 0, 1)
+        img += rng.normal(0, 0.003, img.shape).astype(np.float32)
+    else:
+        detail = rng.random((size, size, 3)).astype(np.float32)
+        img = base * (0.8 + 0.2 * detail) + 0.08 * detail
+        # per-row gain jitter: CMOS readout banding
+        img *= (1.0 + rng.normal(0, 0.02, (size, 1, 1))
+                .astype(np.float32))
+        img += rng.normal(0, 0.012 + 0.015 * rng.random(),
+                          img.shape).astype(np.float32)
+    return img
+
+
+def _frame_texture(rng: np.random.Generator, size: int, ai_like: bool):
+    """Family C (HELD OUT of default training) — multi-octave value-noise
+    scenes; AI cue = half-resolution nearest-neighbor upsample (GAN
+    checkerboard-like grid) + smoothing; camera cue = luminance-scaled
+    shot noise (Poisson-like).  Evaluating the shipped checkpoints here
+    measures transfer to an unseen generator family."""
+    base = np.zeros((size, size, 3), np.float32)
+    for octave in (4, 8, 16):
+        g = rng.random((octave, octave, 3)).astype(np.float32)
+        reps = -(-size // octave)
+        up = np.repeat(np.repeat(g, reps, 0), reps, 1)[:size, :size]
+        base += _smooth(up, size / (octave * 3)) / octave * 4
+    base = np.clip(base / max(1e-6, base.max()), 0, 1)
+    if ai_like:
+        half = base[::2, ::2]
+        img = np.repeat(np.repeat(half, 2, 0), 2, 1)[:size, :size]
+        img = _smooth(img, 0.8 + 0.8 * rng.random())
+        img = np.clip(img * (1.0 + 0.1 * rng.random()), 0, 1)
+        img += rng.normal(0, 0.005, img.shape).astype(np.float32)
+    else:
+        detail = rng.random((size, size, 3)).astype(np.float32)
+        img = np.clip(base + 0.12 * detail, 0, 1)
+        # shot noise: sigma grows with sqrt(luminance)
+        sigma = (0.008 + 0.02 * rng.random()) * np.sqrt(
+            np.clip(img, 1e-3, 1))
+        img += (rng.standard_normal(img.shape) * sigma).astype(np.float32)
+    return img
+
+
+# Procedural generator families (labels 1 = AI-like in all of them).
+# Default TRAINING uses blobs+geometric; texture stays HELD OUT as the
+# unseen-family transfer eval (tools/eval_detector.py, BASELINE.md).
+GENERATOR_FAMILIES = {
+    "blobs": _frame_blobs,
+    "geometric": _frame_geometric,
+    "texture": _frame_texture,
+}
+TRAIN_FAMILIES = ("blobs", "geometric")
+HELDOUT_FAMILY = "texture"
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, size: int,
+                    families=("blobs",)):
     """Procedural real-vs-AI frames (labels 1 = AI-like).
 
     Encodes the cues the reference's heuristics key on (video.py:51-57 —
     texture, smoothness) with enough intra-class variation that the
-    classes overlap: "camera" frames are structured scenes with sensor
-    noise and demosaic-like sharpness; "generator" frames are the same
-    scenes over-smoothed, denoised, and slightly over-saturated, with
-    randomized strengths."""
+    classes overlap.  ``families`` picks which procedural generator
+    families contribute (uniformly at random per frame); the default
+    single-family call is the original round-1 behavior."""
     frames = np.empty((batch, size, size, 3), np.float32)
     labels = np.empty((batch,), np.int32)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    fams = [GENERATOR_FAMILIES[f] for f in families]
     for i in range(batch):
         ai_like = rng.random() < 0.5
-        # a structured "scene": random low-frequency gradients + blobs
-        base = np.zeros((size, size, 3), np.float32)
-        for _ in range(rng.integers(2, 5)):
-            cx, cy = rng.random(2)
-            r = 0.1 + 0.4 * rng.random()
-            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / r ** 2))
-            base += blob[..., None] * rng.random(3)
-        base += (0.3 * xx * rng.random() + 0.3 * yy * rng.random())[..., None]
-        base /= max(1e-6, base.max())
-        detail = rng.random((size, size, 3)).astype(np.float32)
-        if ai_like:
-            # generator-like: heavy smoothing, weak detail, mild
-            # oversaturation, near-zero sensor noise
-            sigma = 1.2 + 2.0 * rng.random()
-            img = _smooth(base + 0.10 * detail, sigma)
-            img = np.clip(img * (1.05 + 0.15 * rng.random()), 0, 1)
-            img += rng.normal(0, 0.004, img.shape).astype(np.float32)
-        else:
-            # camera-like: crisp detail + per-pixel sensor noise +
-            # mild sharpening halo
-            img = base + (0.15 + 0.2 * rng.random()) * detail
-            img = np.clip(img, 0, 1)
-            blur = _smooth(img, 1.0)
-            img = np.clip(img + (0.3 * rng.random()) * (img - blur), 0, 1)
-            img += rng.normal(0, 0.01 + 0.02 * rng.random(),
-                              img.shape).astype(np.float32)
-        frames[i] = np.clip(img, 0, 1)
+        gen = fams[rng.integers(0, len(fams))]
+        frames[i] = np.clip(gen(rng, size, ai_like), 0, 1)
         labels[i] = 1 if ai_like else 0
     return frames, labels
 
 
 def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999,
-             fam=None):
-    """Held-out synthetic eval → (accuracy, auc)."""
+             fam=None, families=("blobs",)):
+    """Held-out synthetic eval → (accuracy, auc); ``families`` selects
+    the procedural generator families the eval set draws from."""
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +188,8 @@ def evaluate(params, cfg, n: int = 512, batch: int = 64, seed: int = 999,
     rng = np.random.default_rng(seed)
     ps, ys = [], []
     for _ in range(n // batch):
-        frames, labels = synthetic_batch(rng, batch, cfg.image_size)
+        frames, labels = synthetic_batch(rng, batch, cfg.image_size,
+                                         families)
         ps.append(np.asarray(probs(params, jnp.asarray(frames))))
         ys.append(labels)
     return _acc_auc(np.concatenate(ps), np.concatenate(ys))
@@ -117,7 +209,8 @@ def _acc_auc(p: np.ndarray, y: np.ndarray):
 
 
 def evaluate_sequences(params, cfg, n: int = 64, t: int = 8,
-                       batch: int = 16, seed: int = 999):
+                       batch: int = 16, seed: int = 999,
+                       families=("blobs",)):
     """Held-out synthetic-sequence eval for the temporal family →
     per-frame (accuracy, auc)."""
     import jax
@@ -134,7 +227,8 @@ def evaluate_sequences(params, cfg, n: int = 64, t: int = 8,
     ps, ys = [], []
     for _ in range(max(1, n // batch)):
         frames, labels = temporal.synthetic_sequences(rng, batch, t,
-                                                      cfg.image_size)
+                                                      cfg.image_size,
+                                                      families)
         ps.append(np.asarray(probs(params, jnp.asarray(frames))).ravel())
         ys.append(labels.ravel())
     return _acc_auc(np.concatenate(ps), np.concatenate(ys))
@@ -175,7 +269,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           heads: int = 4, log_every: int = 10, seed: int = 0,
           cache_samples: int = 8192, arch: str = "vit",
           experts: int = 0, pp_stages: int = 0, pp_tp: int = 0,
-          remat: bool = False, seq_len: int = 8):
+          remat: bool = False, scan: bool = False, seq_len: int = 8,
+          init_from: str | None = None, families=("blobs",)):
     import jax
     import jax.numpy as jnp
 
@@ -196,8 +291,40 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     else:
         cfg = detector.make_config("full", image_size=image_size, patch=16,
                                    width=width, depth=depth, heads=heads,
-                                   n_experts=experts, remat=remat)
+                                   n_experts=experts, remat=remat,
+                                   scan=scan)
     params = detector.init_params(jax.random.PRNGKey(seed), cfg)
+    if init_from:
+        # resolution-transfer fine-tune: restore a checkpoint trained at
+        # another image size into THIS config's pytree, adapting only
+        # the positional-embedding grid (detector.interpolate_pos_emb).
+        # The source grid is probed: for a fixed patch size, pos_emb is
+        # the ONLY resolution-dependent leaf, so restoring against a
+        # like-tree built at each candidate size finds it.
+        if arch != "vit":
+            raise ValueError("--init-from supports the ViT family")
+        import dataclasses
+
+        from avd_tpu.models.detector import interpolate_pos_emb
+        restored = None
+        sizes = [image_size] + [
+            s for s in (128, 224, 64, 96, 160, 192, 256)
+            if s != image_size]
+        for probe_size in sizes:
+            probe_cfg = dataclasses.replace(cfg, image_size=probe_size)
+            try:
+                like = detector.init_params(jax.random.PRNGKey(0),
+                                            probe_cfg)
+                restored = detector.load_checkpoint(init_from, like)
+                break
+            except Exception:
+                continue
+        if restored is None:
+            raise ValueError(f"--init-from {init_from}: no matching "
+                             "pos_emb grid found")
+        params = interpolate_pos_emb(restored, cfg)
+        print(f"initialized from {init_from} (trained at {probe_size}px; "
+              f"pos_emb -> {cfg.tokens} tokens)", flush=True)
     optimizer = detector.make_optimizer(lr)
 
     n_dev = len(jax.devices())
@@ -248,11 +375,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             from avd_tpu.models import temporal
             pool = temporal.synthetic_sequences(
                 rng, max(batch, cache_samples // seq_len), seq_len,
-                image_size)
+                image_size, families)
         else:
             pf, pl = [], []
             for _ in range(-(-cache_samples // batch)):
-                f, lab = synthetic_batch(rng, batch, image_size)
+                f, lab = synthetic_batch(rng, batch, image_size, families)
                 pf.append(f)
                 pl.append(lab)
             pool = (np.concatenate(pf), np.concatenate(pl))
@@ -271,9 +398,10 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             elif arch == "temporal":
                 from avd_tpu.models import temporal
                 frames, labels = temporal.synthetic_sequences(
-                    rng, batch, seq_len, image_size)
+                    rng, batch, seq_len, image_size, families)
             else:
-                frames, labels = synthetic_batch(rng, batch, image_size)
+                frames, labels = synthetic_batch(rng, batch, image_size,
+                                                 families)
             fb = jnp.asarray(frames)
             lb = jnp.asarray(labels)
             if sharded:
@@ -288,9 +416,10 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                       f"{rate:.1f} frames/s", flush=True)
 
     if arch == "temporal":
-        acc, auc = evaluate_sequences(params, cfg, t=seq_len)
+        acc, auc = evaluate_sequences(params, cfg, t=seq_len,
+                                      families=families)
     else:
-        acc, auc = evaluate(params, cfg, fam=detector)
+        acc, auc = evaluate(params, cfg, fam=detector, families=families)
     print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
           flush=True)
     if out:
@@ -327,6 +456,19 @@ def main() -> int:
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize blocks under autodiff "
                          "(activation memory O(1) in depth; ViT only)")
+    ap.add_argument("--scan", action="store_true",
+                    help="roll the layer stack into one lax.scan "
+                         "(depth-fold smaller train program; ViT only)")
+    ap.add_argument("--init-from", default=None, dest="init_from",
+                    help="warm-start from an orbax checkpoint, bilinearly "
+                         "interpolating pos_emb across resolutions "
+                         "(ViT only)")
+    ap.add_argument("--families", default="blobs",
+                    help="comma-separated procedural generator families "
+                         f"for train+eval data (available: "
+                         f"{','.join(sorted(GENERATOR_FAMILIES))}; "
+                         "'texture' is the held-out transfer-eval family "
+                         "— tools/eval_detector.py)")
     args = ap.parse_args()
     if args.arch == "cnn":
         ignored = [f for f, d in (("--width", 256), ("--depth", 4),
@@ -344,8 +486,9 @@ def main() -> int:
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
                       experts=args.experts, pp_stages=args.pp_stages,
-                      pp_tp=args.pp_tp, remat=args.remat,
-                      seq_len=args.seq_len)
+                      pp_tp=args.pp_tp, remat=args.remat, scan=args.scan,
+                      seq_len=args.seq_len, init_from=args.init_from,
+                      families=tuple(args.families.split(",")))
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

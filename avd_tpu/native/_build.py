@@ -63,6 +63,30 @@ def so_site(name: str) -> str:
     return os.path.join(d, name)
 
 
+def _prune_stale_siblings(so: str) -> None:
+    """Drop cached artifacts from previous source versions.
+
+    Content-hash cache keys (``<stem>-<sha12>.so``) mean every source
+    change adds one binary to the per-user cache dir forever; after a
+    successful build, unlink siblings sharing the stem but carrying a
+    different tag.  Best-effort — a concurrently running process that
+    already dlopened an old artifact keeps its mapping (POSIX unlink
+    semantics), so this never breaks a live loader."""
+    import glob
+    import re
+    d, base = os.path.split(so)
+    m = re.match(r"^(.*)-[0-9a-f]{12}\.so$", base)
+    if not m:
+        return
+    for sib in glob.glob(os.path.join(d, m.group(1) + "-*.so")):
+        if os.path.basename(sib) != base and re.match(
+                r"^(.*)-[0-9a-f]{12}\.so$", os.path.basename(sib)):
+            try:
+                os.unlink(sib)
+            except OSError:
+                pass
+
+
 def ensure_so(src: str, so: str, cmd_for: Callable[[str], List[str]],
               timeout: float, force: bool = False) -> bool:
     """True when ``so`` is a plausible load candidate.
@@ -86,6 +110,7 @@ def ensure_so(src: str, so: str, cmd_for: Callable[[str], List[str]],
             if proc.returncode != 0:
                 return False
             os.replace(tmp, so)
+            _prune_stale_siblings(so)
             return True
         finally:
             try:

@@ -233,7 +233,17 @@ def build_app(analyze_fn=None) -> App:
             files, fields = parse_multipart_or_form(req)
             for f in files.values():  # stray file parts must not leak spools
                 f.unlink()
-            return _do_analyze_url(fields.get("url", ""))
+            if "url" not in fields:
+                # the reference declares `url: str = Form(...)` — FastAPI
+                # validates BEFORE the route body, so a MISSING field
+                # observably yields the pydantic 422; the Italian
+                # "URL mancante" branch (api.py:257-258) is reachable
+                # only for an EMPTY-STRING url (Form accepts "" as a str)
+                raise HTTPError(422, [{"type": "missing",
+                                       "loc": ["body", "url"],
+                                       "msg": "Field required",
+                                       "input": None}])
+            return _do_analyze_url(fields["url"])
 
     @app.route("POST", "/predict")
     def predict(req: Request) -> Response:
@@ -261,7 +271,12 @@ def build_app(analyze_fn=None) -> App:
         if "application/x-www-form-urlencoded" in ctype:
             from urllib.parse import parse_qs
             body = req.body().decode("utf-8", "ignore")
-            return {}, {k: v[0] for k, v in parse_qs(body).items()}
+            # keep_blank_values: `url=` must surface as an EMPTY string
+            # (Starlette form semantics) — the reference's Italian
+            # "URL mancante" branch is reachable only that way; dropping
+            # blanks would misreport it as a missing field (422 shape)
+            return {}, {k: v[0] for k, v in
+                        parse_qs(body, keep_blank_values=True).items()}
         return {}, {}
 
     return app

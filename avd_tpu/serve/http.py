@@ -72,8 +72,19 @@ class BodyStream:
         # set on a framing error: the body length is unknowable, so the
         # connection must be closed even though reads have stopped
         self.broken = False
+        # `Expect: 100-continue` hook (RFC 9110 §10.1.1): set by the
+        # handler to a callable that writes the interim `100 Continue`
+        # response.  Fired lazily on the FIRST body read — the uvicorn
+        # behavior the reference inherits: a request rejected before its
+        # body is touched (413 precheck, 503 shed) gets the final status
+        # directly, while curl's default large-upload flow (send Expect,
+        # stall up to 1 s for the interim response) proceeds immediately.
+        self.on_first_read = None
 
     def read(self, n: int) -> bytes:
+        if self.on_first_read is not None:
+            cb, self.on_first_read = self.on_first_read, None
+            cb()
         if self.finished or n <= 0:
             return b""
         if self._chunked:
@@ -425,6 +436,15 @@ class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     app: App = None  # set by make_server
 
+    def handle_expect_100(self):
+        # Defer the interim `100 Continue`: the stdlib default sends it
+        # EAGERLY right after the headers, but uvicorn (the behavior the
+        # reference exposes) sends it lazily when the app first reads
+        # the body — a request rejected body-unread gets the final
+        # status directly.  _handle_inner arms BodyStream.on_first_read
+        # with the actual send; returning True proceeds to the handler.
+        return True
+
     def _handle(self):
         began = getattr(self.server, "request_began", None)
         if began:
@@ -445,12 +465,31 @@ class _Handler(BaseHTTPRequestHandler):
             self.headers.get("Content-Length") or 0)
         body = BodyStream(self.rfile, content_length=length,
                           chunked=chunked)
+        # `Expect: 100-continue` (RFC 9110): HTTP/1.1 clients (curl's
+        # default on large uploads — exactly this service's workload)
+        # send the header and wait for the interim response before
+        # transmitting the body.  Arm the lazy hook; BodyStream fires it
+        # on the first actual body read (see BodyStream.on_first_read).
+        if (self.request_version >= "HTTP/1.1"
+                and "100-continue" in
+                (self.headers.get("Expect") or "").lower()):
+            def _send_continue():
+                try:
+                    self.wfile.write(b"HTTP/1.1 100 Continue\r\n\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            body.on_first_read = _send_continue
         # HEAD routes like GET (Starlette auto-adds HEAD to GET routes)
         # but must not carry a body (RFC 9110)
         is_head = self.command == "HEAD"
         method = "GET" if is_head else self.command
         req = Request(method, parsed.path, query, self.headers, body)
         resp = self.app.dispatch(req)
+        # the final response supersedes the interim one: a route that
+        # never read the body must not emit `100 Continue` during the
+        # post-response keep-alive drain below
+        body.on_first_read = None
         # keep-alive hygiene: the next pipelined request must not parse
         # leftover body bytes.  An unconsumed or broken body closes the
         # connection; the response goes out FIRST so an early 413/400

@@ -43,6 +43,7 @@ import signal
 import sys
 import threading
 import time
+from typing import Optional
 
 from avd_tpu.config import get_config
 
@@ -50,9 +51,20 @@ _SIG_RECYCLE = signal.SIGRTMIN + 1   # worker → master: budget reached
 _SIG_READY = signal.SIGRTMIN + 2     # worker → master: bound + warm
 
 
-def _hb_path(pid: int) -> str:
-    import tempfile
-    return os.path.join(tempfile.gettempdir(), f"avd_hb_{pid}")
+def _hb_path(pid: int) -> Optional[str]:
+    """Heartbeat file for ``pid`` inside the master-owned PRIVATE dir
+    (a 0700 mkdtemp created by the master, handed to workers via
+    AVD_HB_DIR across fork).  The shared world-writable tempdir is off
+    limits: on a multi-tenant host a predictable /tmp/avd_hb_<pid> could
+    be pre-created or symlinked by another tenant, feeding the reaper a
+    stale attacker-controlled mtime (perpetual kill/respawn of healthy
+    workers) or making the worker truncate an arbitrary file.  Returns
+    None when no master provided a dir (single-process serving — there
+    is no reaper, so there is nothing to beat for)."""
+    hb_dir = os.environ.get("AVD_HB_DIR")
+    if not hb_dir:
+        return None
+    return os.path.join(hb_dir, f"avd_hb_{pid}")
 
 
 def _start_heartbeat() -> None:
@@ -62,14 +74,25 @@ def _start_heartbeat() -> None:
     program keeps beating; only a wedged PROCESS stops — which is exactly
     what gunicorn's timer reaps."""
     path = _hb_path(os.getpid())
+    if path is None:
+        return
+    warned = False
 
     def beat() -> None:
+        nonlocal warned
         while True:
             try:
                 with open(path, "w") as f:
                     f.write(str(time.time()))
-            except OSError:
-                pass
+            except OSError as e:
+                # a worker that cannot beat will be reaped at the
+                # timeout — say so ONCE instead of dying silently
+                if not warned:
+                    warned = True
+                    print(f"[worker {os.getpid()}] WARNING: cannot write "
+                          f"heartbeat {path}: {e!r} — the master will "
+                          "SIGKILL this worker at GUNICORN_TIMEOUT",
+                          flush=True)
             time.sleep(2.0)
 
     threading.Thread(target=beat, daemon=True, name="avd-heartbeat").start()
@@ -222,6 +245,10 @@ def _worker_main(max_requests: int) -> None:
 class Master:
     def __init__(self) -> None:
         self.cfg = get_config()
+        # private heartbeat dir (0700, master-owned) — see _hb_path
+        import tempfile
+        self.hb_dir = tempfile.mkdtemp(prefix="avd_hb_")
+        os.environ["AVD_HB_DIR"] = self.hb_dir
         self.workers: dict[int, float] = {}
         # zero-downtime recycling state: replacement pid → worker it will
         # retire once ready; workers awaiting retirement
@@ -229,6 +256,9 @@ class Master:
         self.retiring: set[int] = set()
         # workers being retired by SIGTTOU scale-down (reap: no respawn)
         self.scale_down: set[int] = set()
+        # SIGHUP rolling-restart queue: workers awaiting their staggered
+        # turn (one in flight at a time — see _rolling_restart)
+        self.roll_queue: list[int] = []
         self.n_workers = max(1, self.cfg.workers)
         self.running = True
 
@@ -267,10 +297,12 @@ class Master:
                 return
             if not pid:
                 return
-            try:
-                os.unlink(_hb_path(pid))
-            except OSError:
-                pass
+            hb = _hb_path(pid)
+            if hb:
+                try:
+                    os.unlink(hb)
+                except OSError:
+                    pass
             born = self.workers.pop(pid, None)
             code = os.waitstatus_to_exitcode(_status)
             if code:
@@ -323,6 +355,22 @@ class Master:
                 os.kill(old, signal.SIGTERM)  # drain + exit
             except ProcessLookupError:
                 pass
+        if old is not None:
+            self._advance_roll()
+
+    def _advance_roll(self) -> None:
+        """Recycle the next queued SIGHUP-roll worker (staggered roll:
+        one replacement warms at a time — N simultaneous replacements
+        would transiently double the pool and warm up concurrently on
+        the single shared TPU/vCPU, stretching every warmup)."""
+        while self.roll_queue:
+            pid = self.roll_queue.pop(0)
+            if (pid in self.workers and pid not in self.retiring
+                    and pid not in self.scale_down
+                    and pid not in self.retire_for
+                    and pid not in self.retire_for.values()):
+                self._on_recycle_request(pid)
+                return
 
     def _scale_up(self) -> None:
         """SIGTTIN (Gunicorn: increment worker count by one)."""
@@ -371,21 +419,27 @@ class Master:
         from avd_tpu import config as config_mod
         config_mod.reset_config()
         self.cfg = get_config()
-        rolled = 0
+        queued = 0
         for pid in list(self.workers):
             # skip workers already mid-transition: retiring olds, scale-down
             # victims, still-booting replacements (retire_for KEYS — rolling
             # one before it reports ready would orphan its roll-replacement
-            # if it crashes during warmup), and olds awaiting retirement
-            # (retire_for values)
+            # if it crashes during warmup), olds awaiting retirement
+            # (retire_for values), and already-queued pids (double HUP)
             if (pid in self.retiring or pid in self.scale_down
                     or pid in self.retire_for
-                    or pid in self.retire_for.values()):
+                    or pid in self.retire_for.values()
+                    or pid in self.roll_queue):
                 continue
-            self._on_recycle_request(pid)
-            rolled += 1
-        print(f"[master] SIGHUP: config reloaded, rolling {rolled} "
-              "workers (zero-downtime)", flush=True)
+            self.roll_queue.append(pid)
+            queued += 1
+        print(f"[master] SIGHUP: config reloaded, rolling {queued} "
+              "workers (zero-downtime, staggered one at a time)",
+              flush=True)
+        # kick the roll only if no replacement is already warming —
+        # otherwise its ready signal advances the queue
+        if not self.retire_for:
+            self._advance_roll()
 
     def _reap_stuck(self) -> None:
         """GUNICORN_TIMEOUT (gunicorn_conf.py:9): SIGKILL a worker whose
@@ -397,8 +451,9 @@ class Master:
             return
         now = time.time()
         for pid, born in list(self.workers.items()):
+            hb = _hb_path(pid)
             try:
-                age = now - os.path.getmtime(_hb_path(pid))
+                age = now - os.path.getmtime(hb) if hb else 0.0
             except OSError:
                 age = now - born  # no beat ever written: age since spawn
             if age > t:
@@ -467,6 +522,8 @@ class Master:
                 os.kill(pid, signal.SIGKILL)
             except ProcessLookupError:
                 pass
+        import shutil
+        shutil.rmtree(self.hb_dir, ignore_errors=True)
         print("[master] shutdown complete", flush=True)
         return 0
 

@@ -255,7 +255,7 @@ def test_sighup_rolling_restart(tmp_path):
             assert hard_failures == 0
 
             text = _wait_log(log, "SIGHUP: config reloaded, rolling 2 "
-                                  "workers (zero-downtime)")
+                                  "workers (zero-downtime, staggered")
             # both original workers retired, two replacements serving
             deadline = time.time() + 30
             while time.time() < deadline:

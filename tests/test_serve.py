@@ -239,8 +239,25 @@ def test_analyze_url_disabled(server):
         config_mod.reset_config()
 
 
-def test_analyze_url_missing(server):
+def test_analyze_url_missing_field(server):
+    """A MISSING url field → the pydantic-shaped 422 the reference stack
+    observably produces (`url: str = Form(...)` validates before the
+    route body, api.py:256); the Italian branch is NOT reachable here."""
     body = b"other=x"
+    status, _, data = _request(
+        server, "POST", "/analyze-url", body,
+        {"Content-Type": "application/x-www-form-urlencoded",
+         "Content-Length": str(len(body))})
+    assert status == 422
+    detail = json.loads(data)["detail"]
+    assert detail[0]["loc"] == ["body", "url"]
+    assert detail[0]["msg"] == "Field required"
+
+
+def test_analyze_url_empty_string(server):
+    """An EMPTY url ("" is a valid str for Form(...), so the route body
+    runs) → the reference's Italian 422 branch (api.py:257-258)."""
+    body = b"url="
     status, _, data = _request(
         server, "POST", "/analyze-url", body,
         {"Content-Type": "application/x-www-form-urlencoded",
@@ -345,6 +362,82 @@ def test_chunked_multipart_upload(server, tmp_path):
     out = json.loads(data)
     assert out["ok"] is True
     assert out["result"]["label"] in ("real", "ai", "uncertain")
+
+
+def test_expect_100_continue_flow(server, tmp_path):
+    """`Expect: 100-continue` (curl's default on large uploads — exactly
+    this service's workload): the server must send the interim
+    `HTTP/1.1 100 Continue` once the route starts reading the body, so
+    the client proceeds immediately instead of stalling out its
+    expect-timeout.  The reference gets this from uvicorn
+    (api.py:91-108)."""
+    import socket
+    clip = fixtures.solid_clip(16, 64)
+    path = fixtures.write_video(tmp_path / "e.mp4", clip, fps=30.0)
+    with open(path, "rb") as f:
+        payload = f.read()
+    body, headers = _multipart(files={"file": ("clip.mp4", payload)})
+    s = socket.create_connection(("127.0.0.1", server), timeout=60)
+    try:
+        head = ["POST /analyze HTTP/1.1", "Host: 127.0.0.1",
+                "Expect: 100-continue", "Connection: close"]
+        for k, v in headers.items():
+            head.append(f"{k}: {v}")
+        s.sendall(("\r\n".join(head) + "\r\n\r\n").encode())
+        # the interim response must arrive BEFORE we send a single body
+        # byte — that's the whole point of the Expect handshake
+        interim = b""
+        while b"\r\n\r\n" not in interim:
+            got = s.recv(4096)
+            assert got, "connection closed before the interim response"
+            interim += got
+        assert interim.startswith(b"HTTP/1.1 100 Continue"), interim[:80]
+        s.sendall(body)
+        resp = b""
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            resp += got
+    finally:
+        s.close()
+    head_raw, _, data = resp.partition(b"\r\n\r\n")
+    assert head_raw.startswith(b"HTTP/1.1 200"), head_raw[:80]
+    assert json.loads(data[:int(dict(
+        line.split(b": ", 1) for line in head_raw.split(b"\r\n")[1:]
+    )[b"Content-Length"])])["ok"] is True
+
+
+def test_expect_no_interim_when_body_unread(server):
+    """A request rejected before its body is touched (unknown route)
+    gets the final status DIRECTLY — no `100 Continue` before or after
+    (uvicorn's observable lazy-interim behavior), even though the server
+    drains the body afterwards for keep-alive hygiene."""
+    import socket
+    body = b"x" * 1024
+    s = socket.create_connection(("127.0.0.1", server), timeout=60)
+    try:
+        head = ("POST /no-such-route HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+                "Expect: 100-continue\r\n"
+                f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n")
+        s.sendall(head.encode())
+        resp = b""
+        # the 404 must arrive while the body is still unsent
+        while b"\r\n\r\n" not in resp:
+            got = s.recv(4096)
+            assert got, "connection closed before any response"
+            resp += got
+        assert resp.startswith(b"HTTP/1.1 404"), resp[:80]
+        assert b"100 Continue" not in resp
+        s.sendall(body)  # late body: the post-response drain eats it
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            resp += got
+        assert b"100 Continue" not in resp
+    finally:
+        s.close()
 
 
 def test_chunked_cors_echo(server):

@@ -114,6 +114,79 @@ def test_remat_gradients_identical():
                                    atol=1e-6)
 
 
+def test_scan_forward_matches_unrolled():
+    """cfg.scan rolls the layer stack into one lax.scan over stacked
+    parameters — same blocks in the same order, so the forward and its
+    gradients must agree with the unrolled Python loop to the usual
+    ~2e-2 bf16 budget (XLA fuses the two programs differently, so
+    bitwise equality is not expected on the bf16 activation path)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=3,
+                             heads=4)
+    params = detector.init_params(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(np.random.default_rng(1).random((4, 32, 32, 3),
+                                                    np.float32))
+    y = jnp.asarray(np.arange(4) % 2)
+    base = np.asarray(detector.forward(params, x, cfg))
+    for scan_cfg in (dataclasses.replace(cfg, scan=True),
+                     dataclasses.replace(cfg, scan=True, remat=True)):
+        out = np.asarray(detector.forward(params, x, scan_cfg))
+        np.testing.assert_allclose(base, out, atol=2e-2)
+    l1, g1 = jax.value_and_grad(detector.loss_fn)(params, x, y, cfg)
+    l2, g2 = jax.value_and_grad(detector.loss_fn)(
+        params, x, y, dataclasses.replace(cfg, scan=True, remat=True))
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=0.05)
+
+
+def test_interpolate_pos_emb_resolution_transfer(tmp_path):
+    """128px → 224px transfer: interpolate_pos_emb resizes ONLY the
+    pos-emb grid (bilinear), keeps the cls slot, and the adapted params
+    run at the new resolution; same-grid input is a no-op.  This is the
+    recipe that ships the 224px flagship checkpoint past the remote
+    compile blocker (train at 128, adapt, fine-tune/eval at 224)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg128 = detector.ViTConfig(image_size=128, patch=16, width=256,
+                                depth=2, heads=4)
+    cfg224 = dataclasses.replace(cfg128, image_size=224)
+    params = detector.init_params(jax.random.PRNGKey(0), cfg128)
+    adapted = detector.interpolate_pos_emb(params, cfg224)
+    assert adapted["pos_emb"].shape == (cfg224.tokens, cfg128.width)
+    # cls row preserved exactly; every other leaf untouched
+    np.testing.assert_array_equal(np.asarray(adapted["pos_emb"][0]),
+                                  np.asarray(params["pos_emb"][0]))
+    assert adapted["patch_w"] is params["patch_w"]
+    # runs at the new resolution
+    x = jnp.asarray(np.random.default_rng(0).random((2, 224, 224, 3),
+                                                    np.float32))
+    out = np.asarray(detector.forward(adapted, x, cfg224))
+    assert out.shape == (2, 1) and np.isfinite(out).all()
+    # same grid → no-op
+    same = detector.interpolate_pos_emb(params, cfg128)
+    assert same is params
+
+    # end-to-end through the train driver: a 128px checkpoint warm-starts
+    # a 224px fine-tune via --init-from (grid probed automatically)
+    ck = str(tmp_path / "ck128")
+    detector.save_checkpoint(ck, jax.device_get(params))
+    params224, losses = train.train(
+        steps=2, batch=4, image_size=224, width=256, depth=2, heads=4,
+        log_every=0, cache_samples=4, scan=True, init_from=ck)
+    assert params224["pos_emb"].shape[0] == cfg224.tokens
+    assert np.isfinite(losses).all()
+
+
 def test_train_driver_3d_pp_tp():
     """--pp 2 --pp-tp 2: the 3-D dp×pp×tp mesh through the real driver
     (GPipe ring over 'stage', manual Megatron psums over 'model')."""
