@@ -87,6 +87,10 @@ PRESETS = {
     # matches models/train.py defaults — train small, serve small
     "small": dict(image_size=64, patch=16, width=256, depth=4, heads=4),
     "full": {},  # the dataclass defaults: 224px, width 384, depth 6
+    # Switch-MoE variant of 'small' (4 experts, top-1) — the expert-
+    # parallel serving preset; ships trained (AVD_DETECTOR_PRESET=moe_small)
+    "moe_small": dict(image_size=64, patch=16, width=256, depth=4,
+                      heads=4, n_experts=4),
 }
 
 
@@ -372,9 +376,10 @@ def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
 
 def block_forward(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
                   ap=lambda x, s: x,
-                  res_spec: P = P("data", None, None)) -> jnp.ndarray:
+                  res_spec: P = P("data", None, None),
+                  router_x: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """block_forward_aux without the aux output (dense/serving callers)."""
-    return block_forward_aux(x, lp, cfg, ap, res_spec)[0]
+    return block_forward_aux(x, lp, cfg, ap, res_spec, router_x)[0]
 
 
 def block_forward_tp(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
@@ -525,6 +530,33 @@ def forward_pipelined(params: Dict[str, Any], frames: jnp.ndarray,
     x = embed(params, frames, cfg)
     xs = x.reshape(n_micro, B // n_micro, cfg.tokens, cfg.width)
     layers = params["layers"]
+
+    if cfg.n_experts and not tp:
+        # MoE stages pre-gate on the same layout-stable f32 features as
+        # `forward` (see _router_features); the features ride the GPipe
+        # ring as a second pytree leaf alongside each microbatch, so
+        # every stage's routers read them without recomputation
+        rx = _router_features(params, frames, cfg)
+        rxs = rx.reshape(n_micro, B // n_micro, cfg.tokens, cfg.width)
+        pspec = P("stage")
+        xspec = P(None, "data") if "data" in mesh.axis_names else P(None)
+
+        def moe_stage_fn(sp, xm):
+            h, r = xm
+
+            def body(hc, lp):
+                return block_forward(hc, lp, cfg, router_x=r), None
+
+            y, _ = jax.lax.scan(body, h, sp)
+            return (y, r)
+
+        stacked = pl.stack_layers(layers)
+        run = shard_map(
+            lambda sp, x: pl.gpipe(moe_stage_fn, sp, x, n_stages),
+            mesh=mesh, in_specs=(pspec, (xspec, xspec)),
+            out_specs=(xspec, xspec))
+        ys, _ = run(stacked, (xs, rxs))
+        return head(params, ys.reshape(B, cfg.tokens, cfg.width))
 
     if tp:
         if "model" not in mesh.axis_names:

@@ -80,6 +80,9 @@ def _shipped_ckpt(arch: str, preset: str):
     elif arch == "vit" and preset == "full":
         # the serving-size 224px ViT also ships trained
         path = os.path.join(_WEIGHTS_DIR, "detector_full")
+    elif arch == "vit" and preset == "moe_small":
+        # the expert-parallel Switch-MoE variant also ships trained
+        path = os.path.join(_WEIGHTS_DIR, "moe_small")
     else:
         return None
     return path if path and os.path.isdir(path) else None

@@ -463,6 +463,10 @@ def main() -> int:
                     help="warm-start from an orbax checkpoint, bilinearly "
                          "interpolating pos_emb across resolutions "
                          "(ViT only)")
+    ap.add_argument("--cache-samples", type=int, default=8192,
+                    dest="cache_samples",
+                    help="pre-generated sample pool size (the single "
+                         "shared host core is the data bottleneck)")
     ap.add_argument("--families", default="blobs",
                     help="comma-separated procedural generator families "
                          f"for train+eval data (available: "
@@ -488,6 +492,7 @@ def main() -> int:
                       experts=args.experts, pp_stages=args.pp_stages,
                       pp_tp=args.pp_tp, remat=args.remat, scan=args.scan,
                       seq_len=args.seq_len, init_from=args.init_from,
+                      cache_samples=args.cache_samples,
                       families=tuple(args.families.split(",")))
     if losses:
         print(f"final loss {losses[-1]:.4f}")

@@ -44,46 +44,58 @@ def gpipe(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         stage_params: this device's parameter shard (leading layer axis
             already sliced by shard_map's in_spec ``P('stage', ...)``).
         xs: ``[n_micro, ...]`` stacked microbatches, replicated across
-            the stage axis.
+            the stage axis.  May be a PYTREE of such arrays — every leaf
+            rides the ICI ring alongside the activations (e.g. the MoE
+            pre-gating features, which each stage's routers read but no
+            stage rewrites).
         n_stages: static stage count (== mesh axis size).
         axis: mesh axis name.
 
     Returns:
-        ``[n_micro, ...]`` outputs, replicated across the stage axis
-        (masked psum of the last stage's buffer).
+        ``[n_micro, ...]`` outputs (same pytree structure as ``xs``),
+        replicated across the stage axis (masked psum of the last
+        stage's buffer).
     """
-    n_micro = xs.shape[0]
+    tmap = jax.tree_util.tree_map
+    n_micro = jax.tree_util.tree_leaves(xs)[0].shape[0]
     sid = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def tick(carry, t):
         state, out = carry
         # stage 0 ingests microbatch t (clamped gather; masked below)
-        fresh = jax.lax.dynamic_index_in_dim(
-            xs, jnp.minimum(t, n_micro - 1), 0, keepdims=False)
-        cur = jnp.where(sid == 0, fresh, state)
+        fresh = tmap(lambda a: jax.lax.dynamic_index_in_dim(
+            a, jnp.minimum(t, n_micro - 1), 0, keepdims=False), xs)
+        cur = tmap(lambda f, s: jnp.where(sid == 0, f, s), fresh, state)
         y = stage_fn(stage_params, cur)
         # the last stage finished microbatch t-(S-1); write it
         oidx = t - (n_stages - 1)
         ci = jnp.clip(oidx, 0, n_micro - 1)
         valid = jnp.logical_and(sid == n_stages - 1, oidx >= 0)
-        prev_row = jax.lax.dynamic_index_in_dim(out, ci, 0, keepdims=False)
-        out = jax.lax.dynamic_update_index_in_dim(
-            out, jnp.where(valid, y, prev_row), ci, 0)
+
+        def write(buf, row):
+            prev = jax.lax.dynamic_index_in_dim(buf, ci, 0, keepdims=False)
+            return jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(valid, row, prev), ci, 0)
+
+        out = tmap(write, out, y)
         # hand this tick's activation to the next stage over the ICI ring
-        state = jax.lax.ppermute(y, axis, perm)
+        state = tmap(lambda a: jax.lax.ppermute(a, axis, perm), y)
         return (state, out), None
 
     # the carry becomes device-varying over the stage axis on the first
     # tick (axis_index + ppermute); mark the zero-init accordingly so the
     # scan carry types match under shard_map's varying-axes checker
-    state0 = jax.lax.pcast(jnp.zeros_like(xs[0]), (axis,), to="varying")
-    out0 = jax.lax.pcast(jnp.zeros_like(xs), (axis,), to="varying")
+    state0 = tmap(lambda a: jax.lax.pcast(
+        jnp.zeros_like(a[0]), (axis,), to="varying"), xs)
+    out0 = tmap(lambda a: jax.lax.pcast(
+        jnp.zeros_like(a), (axis,), to="varying"), xs)
     (_, out), _ = jax.lax.scan(tick, (state0, out0),
                                jnp.arange(n_micro + n_stages - 1))
     # replicate the last stage's buffer to every stage (single collective)
-    out = jnp.where(sid == n_stages - 1, out, jnp.zeros_like(out))
-    return jax.lax.psum(out, axis)
+    out = tmap(lambda a: jnp.where(sid == n_stages - 1, a,
+                                   jnp.zeros_like(a)), out)
+    return tmap(lambda a: jax.lax.psum(a, axis), out)
 
 
 def stack_layers(layers: list) -> Any:

@@ -91,16 +91,16 @@ def test_pp_more_microbatches_than_stages():
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs the virtual 8-device mesh")
 def test_pp_with_moe_layers():
-    """PP over a Switch-MoE layer stack (stack_layers on the MoE param
-    dicts; router margins boosted for layout-stable routing — see
+    """PP over a Switch-MoE layer stack: the pre-gating features ride
+    the GPipe ring as a second pytree leaf (pipeline.gpipe pytree
+    state), so every stage routes on the same layout-stable f32
+    features as the GSPMD path — no router boost needed (see
     tests/test_moe.py)."""
     from avd_tpu.models import detector
     from avd_tpu.parallel import mesh as mesh_mod
     cfg = detector.ViTConfig(image_size=32, patch=16, width=256, depth=4,
                              heads=4, n_experts=4)
     params = detector.init_params(jax.random.PRNGKey(5), cfg)
-    for lp in params["layers"]:
-        lp["router_w"] = lp["router_w"] * 10.0
     frames = jnp.asarray(np.random.default_rng(5).random((8, 32, 32, 3),
                                                          np.float32))
     ref = np.asarray(detector.forward(params, frames, cfg))

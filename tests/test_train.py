@@ -187,6 +187,28 @@ def test_interpolate_pos_emb_resolution_transfer(tmp_path):
     assert np.isfinite(losses).all()
 
 
+def test_shipped_detector_transfers_to_unseen_family():
+    """The SHIPPED default checkpoint (trained on blobs+geometric) must
+    score better than chance on the held-out 'texture' generator family
+    it never saw — the generalization claim behind the detector slot
+    (full table: tools/eval_detector.py, BASELINE.md).  Measured AUC is
+    ~0.79; the 0.65 floor leaves sampling margin at n=128."""
+    import os
+
+    from avd_tpu.models import scoring
+    from tools.eval_detector import eval_checkpoint
+
+    ckpt = scoring._shipped_ckpt("vit", "small")
+    if ckpt is None or not os.path.isdir(ckpt):
+        pytest.skip("no shipped detector_small checkpoint")
+    _, fams, _ = eval_checkpoint("vit", "small", ckpt, n=128,
+                                 jpeg_qualities=())
+    acc, auc, _ece = fams[train.HELDOUT_FAMILY]
+    assert auc > 0.65, (acc, auc)
+    # and it actually learned its training families
+    assert fams["blobs"][1] > 0.9 and fams["geometric"][1] > 0.9, fams
+
+
 def test_train_driver_3d_pp_tp():
     """--pp 2 --pp-tp 2: the 3-D dp×pp×tp mesh through the real driver
     (GPipe ring over 'stage', manual Megatron psums over 'model')."""
