@@ -696,16 +696,19 @@ def interpolate_pos_emb(params: Dict[str, Any],
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path: str, params) -> None:
+    import os
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, params, force=True)
+    # orbax/tensorstore requires absolute paths
+    ckpt.save(os.path.abspath(path), params, force=True)
     ckpt.wait_until_finished()
 
 
 def load_checkpoint(path: str, like) -> Any:
+    import os
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(path, like)
+    return ckpt.restore(os.path.abspath(path), like)
 
 
 def load_checkpoint_sharded(path: str, like, mesh, specs) -> Any:

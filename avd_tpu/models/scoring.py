@@ -66,11 +66,14 @@ def _arch() -> str:
 
 
 def _default_preset(arch: str) -> str:
-    """'small' when the shipped trained checkpoint exists (a real model
-    beats a random-init big one), else the 'full' architecture slot —
-    ViT only; the other families default small."""
+    """Prefer the trained serving-size (224px) flagship when its shipped
+    checkpoint exists; else the trained small; else the 'full'
+    architecture slot random-init — ViT only; the other families
+    default small."""
     if arch != "vit":
         return "small"
+    if os.path.isdir(os.path.join(_WEIGHTS_DIR, "detector_full")):
+        return "full"
     return "small" if os.path.isdir(_DEFAULT_CKPT) else "full"
 
 

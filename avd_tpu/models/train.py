@@ -384,30 +384,50 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 pl.append(lab)
             pool = (np.concatenate(pf), np.concatenate(pl))
 
+    # Device-resident pool: on a single device behind the slow axon tunnel
+    # (~35 MB/s H2D) the per-step batch put dominates wall clock at large
+    # image sizes (224px x batch 64 = 38.5 MB/step).  Upload the fixed pool
+    # ONCE and gather each batch on-device from a tiny int32 index vector —
+    # the train loop becomes compute-bound.  Sharded meshes keep the host
+    # path (a gather across a batch-sharded pool would all-gather).
+    dev_pool = None
+    if pool is not None and not sharded:
+        dev_pool = (jax.device_put(pool[0]), jax.device_put(pool[1]))
+        jax.block_until_ready(dev_pool)
+        pool_n = pool[0].shape[0]
+        print(f"pool resident on device "
+              f"({pool[0].nbytes / 1e6:.0f} MB, {pool_n} samples)",
+              flush=True)
+
     losses = []
     import contextlib
     ctx = mesh or contextlib.nullcontext()
     with ctx:
         t0 = time.time()
         for step in range(steps):
-            if batches is not None:
-                frames, labels = next(batches)
-            elif pool is not None:
-                idx = rng.integers(0, pool[0].shape[0], batch)
-                frames, labels = pool[0][idx], pool[1][idx]
-            elif arch == "temporal":
-                from avd_tpu.models import temporal
-                frames, labels = temporal.synthetic_sequences(
-                    rng, batch, seq_len, image_size, families)
+            if dev_pool is not None:
+                idx = jnp.asarray(rng.integers(0, pool_n, batch), jnp.int32)
+                fb = jnp.take(dev_pool[0], idx, axis=0)
+                lb = jnp.take(dev_pool[1], idx, axis=0)
             else:
-                frames, labels = synthetic_batch(rng, batch, image_size,
-                                                 families)
-            fb = jnp.asarray(frames)
-            lb = jnp.asarray(labels)
-            if sharded:
-                bs = mesh_mod.batch_sharding(mesh)
-                fb = jax.device_put(fb, bs)
-                lb = jax.device_put(lb, bs)
+                if batches is not None:
+                    frames, labels = next(batches)
+                elif pool is not None:
+                    idx = rng.integers(0, pool[0].shape[0], batch)
+                    frames, labels = pool[0][idx], pool[1][idx]
+                elif arch == "temporal":
+                    from avd_tpu.models import temporal
+                    frames, labels = temporal.synthetic_sequences(
+                        rng, batch, seq_len, image_size, families)
+                else:
+                    frames, labels = synthetic_batch(rng, batch, image_size,
+                                                     families)
+                fb = jnp.asarray(frames)
+                lb = jnp.asarray(labels)
+                if sharded:
+                    bs = mesh_mod.batch_sharding(mesh)
+                    fb = jax.device_put(fb, bs)
+                    lb = jax.device_put(lb, bs)
             params, opt_state, loss = step_fn(params, opt_state, fb, lb)
             losses.append(float(loss))
             if log_every and step % log_every == 0:

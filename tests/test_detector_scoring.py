@@ -48,9 +48,10 @@ def test_probability_timeline(small_detector):
 
 
 def test_shipped_checkpoint_is_default(monkeypatch):
-    """The trained checkpoint in models/weights/ loads without any env
-    configuration and separates camera-like from generator-like frames
-    (BASELINE.md round-2 detector eval: 0.998 acc on held-out synthetic)."""
+    """The trained serving-size (224px) flagship checkpoint in
+    models/weights/detector_full loads without any env configuration and
+    separates camera-like from generator-like frames (BASELINE.md
+    round-3 flagship eval: 0.998 acc on held-out synthetic)."""
     monkeypatch.setenv("AVD_DETECTOR", "1")
     monkeypatch.delenv("AVD_DETECTOR_CKPT", raising=False)
     monkeypatch.delenv("AVD_DETECTOR_PRESET", raising=False)
@@ -61,7 +62,7 @@ def test_shipped_checkpoint_is_default(monkeypatch):
         smooth = np.full((2, 64, 64, 3), 128, np.uint8)
         out_n = scoring.detector_timeline(noisy)
         out_s = scoring.detector_timeline(smooth)
-        assert out_n["weights"].endswith("detector_small")
+        assert out_n["weights"].endswith("detector_full")
         # camera-like sensor noise scores less AI-like than flat frames
         assert max(out_n["timeline"]) < min(out_s["timeline"])
     finally:
