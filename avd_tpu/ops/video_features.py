@@ -91,7 +91,11 @@ def warm_device(log=None) -> None:
         zero320 = np.zeros((n, _FLOW_SIZE, _FLOW_SIZE), np.uint8)
         zero32 = np.zeros((n, _HASH_SIZE, _HASH_SIZE), np.uint8)
         packed = _pack_prep_window(zero320, zero32)
-        np.asarray(_compiled_prep_packed(n)(jnp.asarray(packed)))
+        np.asarray(_compiled_prep_packed(n, False)(jnp.asarray(packed)))
+        if n == _DEFAULT_CHUNK + 1 and _h2d_delta_mode() != "0":
+            # 'auto' can pick the delta variant for any low-motion full
+            # window — warm it too so no request pays the program load
+            np.asarray(_compiled_prep_packed(n, True)(jnp.asarray(packed)))
     mark_device_warm()
 
 
@@ -170,14 +174,16 @@ def _compiled_chunk(n_frames: int, h: int, w: int):
     return jax.jit(functools.partial(_feature_body, h=h, w=w))
 
 
-@functools.lru_cache(maxsize=4)
-def _compiled_prep_packed(n_frames: int):
+@functools.lru_cache(maxsize=8)
+def _compiled_prep_packed(n_frames: int, delta: bool = False):
     """Tunnel-friendly host-prep program: ONE uint8 input vector (the
     320×320 flow window and 32×32 hash window concatenated flat) and ONE
     float32 output vector (ham ‖ fmean ‖ fvar).  Each host↔device round
     trip costs ~24 ms RTT on the axon tunnel regardless of size, so
     collapsing 2 puts + 3 fetches per window into 1 + 1 is worth ~3 ms
-    per frame of streaming throughput."""
+    per frame of streaming throughput.  With ``delta`` the input is
+    mod-256 frame deltas (_pack_prep_window(delta=True)) and the body
+    reconstructs the exact frames first (see _h2d_delta)."""
     import jax
     import jax.numpy as jnp
 
@@ -188,6 +194,8 @@ def _compiled_prep_packed(n_frames: int):
     def body(packed_u8):
         f = packed_u8[:n_flow].reshape(n_frames, _FLOW_SIZE, _FLOW_SIZE)
         h8 = packed_u8[n_flow:].reshape(n_frames, _HASH_SIZE, _HASH_SIZE)
+        if delta:
+            f, h8 = _undelta_u8(f), _undelta_u8(h8)
         ham, fmean, fvar = _prep_body(f, h8)
         return jnp.concatenate([ham.astype(jnp.float32),
                                 fmean.astype(jnp.float32),
@@ -228,7 +236,85 @@ def _compiled_stack_fetch(m: int):
     return jax.jit(lambda *xs: jnp.stack(xs))
 
 
-def _pack_prep_window(w320: np.ndarray, w32: np.ndarray) -> np.ndarray:
+def _h2d_delta_mode() -> str:
+    """Temporal-delta H2D encoding mode: 'auto' (default), '1', '0'.
+
+    The axon tunnel compresses in flight (tools/h2d_probe.py: 5 MB
+    random u8 ships at ~4-19 MB/s, zeros at ~150 MB/s, sparse
+    video-like deltas at ~94 MB/s), and the 1080p streaming cycle is
+    put-bound — so shipping mod-256 frame deltas instead of raw frames
+    makes transfer cost proportional to temporal CHANGE instead of
+    resolution.  Reconstruction on device (cumsum mod 256) is exact, so
+    every downstream bit is identical.
+
+    Measured 49-frame put+compute cycle on real windows (BASELINE.md
+    round 3): static 82 vs 109 ms, slow motion 91 vs 136, brightness
+    drift 87 vs 112 — but full-motion-every-frame panning texture LOSES
+    (136 vs 108: shifted texture deltas are noise-like).  'auto' decides
+    per window with a cheap host motion proxy (_window_motion, crossover
+    ≈ AVD_H2D_DELTA_THRESH=5 gray levels of mean wrapped |Δ|); tails and
+    the cross-request batcher stay raw so the warm program set stays
+    small."""
+    v = os.getenv("AVD_H2D_DELTA", "auto")
+    return v if v in ("0", "1") else "auto"
+
+
+def _h2d_delta() -> bool:
+    """Static (non-adaptive) view of the delta flag — used by paths that
+    must pick one program for heterogeneous content (cross-request
+    batcher): delta only when forced on."""
+    return _h2d_delta_mode() == "1"
+
+
+def _delta_thresh() -> float:
+    try:
+        return float(os.getenv("AVD_H2D_DELTA_THRESH", "5"))
+    except ValueError:
+        return 5.0
+
+
+def _window_motion(w320: np.ndarray) -> float:
+    """Mean wrapped |frame delta| on an 8×-strided subsample of the flow
+    window — the cheap host proxy for whether delta encoding will
+    compress (≈30 µs for a 49-frame window)."""
+    s = w320[:, ::8, ::8].astype(np.int16)
+    d = np.abs(np.diff(s, axis=0))
+    if d.size == 0:
+        return 0.0
+    return float(np.minimum(d, 256 - d).mean())
+
+
+def _use_delta(w320: np.ndarray, target: int, chunk: int) -> bool:
+    """Per-window delta decision (see _h2d_delta_mode)."""
+    mode = _h2d_delta_mode()
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    if target != chunk + 1:
+        return False  # tails ride the raw programs (small puts anyway)
+    return _window_motion(w320) < _delta_thresh()
+
+
+def _delta_u8(w: np.ndarray) -> np.ndarray:
+    """[n, ...] u8 → same shape: d[0]=w[0], d[i]=w[i]-w[i-1] mod 256."""
+    d = np.empty_like(w)
+    d[0] = w[0]
+    np.subtract(w[1:], w[:-1], out=d[1:])  # uint8 wraparound
+    return d
+
+
+def _undelta_u8(x, axis: int = 0):
+    """Device-side exact inverse of _delta_u8 (cumsum mod 256)."""
+    import jax.numpy as jnp
+    return (jnp.cumsum(x.astype(jnp.int32), axis=axis) & 0xFF) \
+        .astype(jnp.uint8)
+
+
+def _pack_prep_window(w320: np.ndarray, w32: np.ndarray,
+                      delta: bool = False) -> np.ndarray:
+    if delta:
+        w320, w32 = _delta_u8(w320), _delta_u8(w32)
     return np.concatenate([w320.reshape(-1), w32.reshape(-1)])
 
 
@@ -248,12 +334,14 @@ def _compiled_chunk_stacked(m: int, n_frames: int, h: int, w: int):
     return jax.jit(jax.vmap(functools.partial(_feature_body, h=h, w=w)))
 
 
-@functools.lru_cache(maxsize=4)
-def _compiled_prep_stacked_packed(m: int, n_frames: int):
+@functools.lru_cache(maxsize=8)
+def _compiled_prep_stacked_packed(m: int, n_frames: int,
+                                  delta: bool = False):
     """Stacked + packed host-prep program: [m, N·(320²+32²)] uint8 in,
     [m, 3·(N−1)] float32 out — one put and one fetch per cross-request
     batch regardless of batch size (the tunnel charges ~24 ms per round
-    trip; see _compiled_prep_packed)."""
+    trip; see _compiled_prep_packed).  ``delta`` as in
+    _compiled_prep_packed."""
     import jax
     import jax.numpy as jnp
 
@@ -264,6 +352,8 @@ def _compiled_prep_stacked_packed(m: int, n_frames: int):
     def one(packed_u8):
         f = packed_u8[:n_flow].reshape(n_frames, _FLOW_SIZE, _FLOW_SIZE)
         h8 = packed_u8[n_flow:].reshape(n_frames, _HASH_SIZE, _HASH_SIZE)
+        if delta:
+            f, h8 = _undelta_u8(f), _undelta_u8(h8)
         ham, fmean, fvar = _prep_body(f, h8)
         return jnp.concatenate([ham.astype(jnp.float32),
                                 fmean.astype(jnp.float32),
@@ -282,8 +372,10 @@ def run_prep_window(w320: np.ndarray, w32: np.ndarray):
     if b is not None:
         return b.submit_prep(w320, w32).result()
     n = w320.shape[0]
-    fn = _compiled_prep_packed(n)
-    vec = np.asarray(fn(jnp.asarray(_pack_prep_window(w320, w32))))
+    d = _use_delta(w320, n, _DEFAULT_CHUNK)
+    fn = _compiled_prep_packed(n, d)
+    vec = np.asarray(fn(jnp.asarray(_pack_prep_window(w320, w32,
+                                                      delta=d))))
     mark_device_warm()
     return _unpack_prep_out(vec, n)
 
@@ -678,10 +770,12 @@ def compute_features_streaming(chunk_iter) -> Dict:
         if batcher is not None:
             outs = batcher.submit_prep(*windows)  # future (cross-request)
         elif packed_mode:
-            fn = _compiled_prep_packed(target)
-            packed = _pack_prep_window(*windows)
-            # future of a device array: the ~145 ms tunnel put runs on the
+            d = _use_delta(windows[0], target, chunk)
+            fn = _compiled_prep_packed(target, d)
+            packed = _pack_prep_window(*windows, delta=d)
+            # future of a device array: the tunnel put runs on the
             # dispatch worker, overlapped with next-chunk decode + prep
+            # (delta-encoded puts compress in the tunnel — _h2d_delta)
             outs = _dispatch_pool().submit(
                 lambda fn=fn, p=packed: fn(jnp.asarray(p)))
         else:  # device-prep mode: full-res gray windows

@@ -150,14 +150,16 @@ class WindowBatcher:
                 # packed: ONE put + ONE fetch per batch (~24 ms per
                 # tunnel round trip otherwise)
                 n = key[1]
+                d = video_features._h2d_delta()
                 packed = np.stack([video_features._pack_prep_window(
-                    *j.windows) for j in jobs])
+                    *j.windows, delta=d) for j in jobs])
                 if m == 1 and n != video_features._DEFAULT_CHUNK + 1:
                     # tail windows ride the warmed non-stacked program
-                    fn = video_features._compiled_prep_packed(n)
+                    fn = video_features._compiled_prep_packed(n, d)
                     res = np.asarray(fn(jnp.asarray(packed[0])))[None]
                 else:
-                    fn = video_features._compiled_prep_stacked_packed(mb, n)
+                    fn = video_features._compiled_prep_stacked_packed(
+                        mb, n, d)
                     if mb != m:
                         packed = np.concatenate(
                             [packed, np.repeat(packed[-1:], mb - m,

@@ -133,9 +133,10 @@ def _warmup() -> None:
                                    np.uint8)
                 zero32 = np.zeros((full, vf._HASH_SIZE, vf._HASH_SIZE),
                                   np.uint8)
-                packed = vf._pack_prep_window(zero320, zero32)
+                d = vf._h2d_delta()
+                packed = vf._pack_prep_window(zero320, zero32, delta=d)
                 for m in batching._BUCKETS:
-                    fm = vf._compiled_prep_stacked_packed(m, full)
+                    fm = vf._compiled_prep_stacked_packed(m, full, d)
                     sp = np.broadcast_to(packed, (m,) + packed.shape)
                     np.asarray(fm(jnp.asarray(sp)))
         from avd_tpu.models import scoring

@@ -43,9 +43,22 @@ def make_frames(n: int) -> np.ndarray:
     content-dependence measurement.
     """
     rng = np.random.default_rng(0)
-    if os.getenv("AVD_BENCH_CONTENT", "pan") == "noise":
+    content = os.getenv("AVD_BENCH_CONTENT", "pan")
+    if content == "noise":
         return rng.integers(0, 256, (n, H, W, 3), dtype=np.int16) \
                   .astype(np.uint8)
+    if content == "static":
+        # still textured scene (talking-head/CCTV-like): the adaptive
+        # H2D delta encoding's best case (near-zero frame deltas
+        # compress in the tunnel — ops/video_features._h2d_delta_mode)
+        base = rng.integers(0, 256, (H, W, 3), dtype=np.int16) \
+                  .astype(np.uint8)
+        try:
+            import cv2
+            base = cv2.GaussianBlur(base, (0, 0), 2)
+        except Exception:
+            pass
+        return np.broadcast_to(base, (n, H, W, 3)).copy()
     base = rng.integers(0, 256, (H + 64, W + 64, 3),
                         dtype=np.int16).astype(np.uint8)
     try:

@@ -67,3 +67,58 @@ def test_streaming_empty_file(tmp_path, monkeypatch):
     from avd_tpu.analyzers import video as video_an
     out = video_an.analyze("/nonexistent.mp4", {})
     assert out == {"timeline": [], "summary": {}, "timeline_ai": []}
+
+
+def test_h2d_delta_is_bit_exact(monkeypatch):
+    """AVD_H2D_DELTA ships mod-256 temporal deltas and reconstructs on
+    device (cumsum mod 256) — EXACT by construction, so every feature
+    must be bit-identical with the flag on and off (tools/h2d_probe.py
+    measured the tunnel compressing in flight; the delta encoding is
+    what makes streaming puts compressible)."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (61, 64, 64, 3), dtype=np.uint8)
+
+    def run():
+        return video_features.compute_features(frames.copy())
+
+    monkeypatch.setenv("AVD_H2D_DELTA", "1")
+    on = run()
+    monkeypatch.setenv("AVD_H2D_DELTA", "0")
+    off = run()
+    assert on["dup"] == off["dup"]
+    np.testing.assert_array_equal(on["flow_means"], off["flow_means"])
+    np.testing.assert_array_equal(on["flow_vars"], off["flow_vars"])
+    np.testing.assert_array_equal(on["timeline_ai"], off["timeline_ai"])
+
+
+def test_delta_u8_roundtrip_exact():
+    """Host encode / device decode round-trip over the full u8 range,
+    including wraparound."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    w = rng.integers(0, 256, (49, 17, 13), dtype=np.uint8)
+    enc = video_features._delta_u8(w)
+    dec = np.asarray(video_features._undelta_u8(jnp.asarray(enc)))
+    np.testing.assert_array_equal(dec, w)
+
+
+def test_h2d_delta_auto_picks_by_motion(monkeypatch):
+    """'auto' (default) delta selection: low-motion full windows ship
+    deltas, high-motion and tail windows ship raw (calibration table in
+    _h2d_delta_mode's docstring / BASELINE.md round 3)."""
+    monkeypatch.delenv("AVD_H2D_DELTA", raising=False)
+    chunk = video_features._DEFAULT_CHUNK
+    full = chunk + 1
+    static = np.full((full, 320, 320), 100, np.uint8)
+    rng = np.random.default_rng(0)
+    moving = rng.integers(0, 256, (full, 320, 320), dtype=np.uint8)
+    assert video_features._use_delta(static, full, chunk) is True
+    assert video_features._use_delta(moving, full, chunk) is False
+    # tails always raw in auto (warm program set stays small)
+    assert video_features._use_delta(static[: chunk // 4 + 1],
+                                     chunk // 4 + 1, chunk) is False
+    # forced modes override the proxy
+    monkeypatch.setenv("AVD_H2D_DELTA", "1")
+    assert video_features._use_delta(moving, full, chunk) is True
+    monkeypatch.setenv("AVD_H2D_DELTA", "0")
+    assert video_features._use_delta(static, full, chunk) is False

@@ -29,19 +29,26 @@ def main() -> int:
         zero320 = np.zeros((n, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
         zero32 = np.zeros((n, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
         packed = vf._pack_prep_window(zero320, zero32)
-        out = vf._compiled_prep_packed(n)(jnp.asarray(packed))
+        out = vf._compiled_prep_packed(n, False)(jnp.asarray(packed))
         float(np.asarray(out).ravel()[0])  # force completion (axon)
         print(f"bucket {n:3d}: {time.time() - t0:7.1f} s", flush=True)
+        if n == chunk + 1 and vf._h2d_delta_mode() != "0":
+            t0 = time.time()
+            out = vf._compiled_prep_packed(n, True)(jnp.asarray(packed))
+            float(np.asarray(out).ravel()[0])
+            print(f"bucket {n:3d} (delta): {time.time() - t0:7.1f} s",
+                  flush=True)
 
     if "--stacked" in sys.argv:
         full = chunk + 1
         zero320 = np.zeros((full, vf._FLOW_SIZE, vf._FLOW_SIZE), np.uint8)
         zero32 = np.zeros((full, vf._HASH_SIZE, vf._HASH_SIZE), np.uint8)
-        packed = vf._pack_prep_window(zero320, zero32)
+        d = vf._h2d_delta()
+        packed = vf._pack_prep_window(zero320, zero32, delta=d)
         from avd_tpu.serve import batching
         for m in batching._BUCKETS:  # the full warmup ladder incl. 8
             t0 = time.time()
-            fm = vf._compiled_prep_stacked_packed(m, full)
+            fm = vf._compiled_prep_stacked_packed(m, full, d)
             sp = np.broadcast_to(packed, (m,) + packed.shape)
             out = fm(jnp.asarray(sp))
             float(np.asarray(out).ravel()[0])
