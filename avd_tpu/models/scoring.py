@@ -91,6 +91,40 @@ def _shipped_ckpt(arch: str, preset: str):
     return path if path and os.path.isdir(path) else None
 
 
+def _temperature(ckpt) -> float:
+    """Post-hoc calibration temperature for the served checkpoint.
+
+    `tools/eval_detector.py --write-calibration` fits a scalar T on the
+    training families (Guo et al. 2017) and writes it to
+    <ckpt>/calibration.json; serving divides logits by T before the
+    sigmoid, so reported P(ai) matches empirical frequency instead of
+    the raw overconfident score.  AVD_DETECTOR_TEMP overrides (any
+    float; "1" disables).  Ranking (AUC, label at the 0.5 threshold
+    when T>0) is unchanged — only confidence is rescaled."""
+    env = os.getenv("AVD_DETECTOR_TEMP")
+    if env:
+        try:
+            t = float(env)
+            if t > 0:
+                return t
+        except ValueError:
+            pass
+        import warnings
+        warnings.warn(f"AVD_DETECTOR_TEMP={env!r} invalid — using the "
+                      "checkpoint calibration (or 1.0)", stacklevel=2)
+    if ckpt:
+        path = os.path.join(ckpt, "calibration.json")
+        try:
+            import json
+            with open(path) as f:
+                t = float(json.load(f)["temperature"])
+            if t > 0:
+                return t
+        except (OSError, ValueError, KeyError):
+            pass
+    return 1.0
+
+
 @functools.lru_cache(maxsize=1)
 def _bundle():
     import jax
@@ -110,6 +144,9 @@ def _bundle():
     if ckpt:
         params = detector.load_checkpoint(ckpt, params)
         source = ckpt
+    temp = _temperature(ckpt)
+    if temp != 1.0:
+        source = f"{source}+T{temp:.2f}"
 
     # clip-based families (temporal) score the sampled-frame axis as
     # TIME through forward_clip; they serve single-chip here (their
@@ -143,7 +180,7 @@ def _bundle():
         @jax.jit
         def probs(params, frames_f32):
             logits = quant.forward(params, frames_f32, cfg)[:, 0]
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+            return jax.nn.sigmoid(logits.astype(jnp.float32) / temp)
 
         return cfg, params, probs, source, 1
 
@@ -164,7 +201,7 @@ def _bundle():
         def probs_sharded(params, frames_f32):
             logits = detector.forward(params, frames_f32, cfg,
                                       sharded=True)[:, 0]
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+            return jax.nn.sigmoid(logits.astype(jnp.float32) / temp)
 
         def probs(params, frames_f32):
             frames_f32 = jax.device_put(
@@ -187,7 +224,7 @@ def _bundle():
             mask = jnp.arange(frames_f32.shape[0]) < n_valid
             logits = detector.forward_clip(params, frames_f32, cfg,
                                            mask=mask)[:, 0]
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+            return jax.nn.sigmoid(logits.astype(jnp.float32) / temp)
 
         probs.clip_window = window
         return cfg, params, probs, source, 1
@@ -195,7 +232,7 @@ def _bundle():
     @jax.jit
     def probs(params, frames_f32):
         logits = detector.forward(params, frames_f32, cfg)[:, 0]
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+        return jax.nn.sigmoid(logits.astype(jnp.float32) / temp)
 
     return cfg, params, probs, source, 1
 

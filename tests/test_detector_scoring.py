@@ -62,7 +62,8 @@ def test_shipped_checkpoint_is_default(monkeypatch):
         smooth = np.full((2, 64, 64, 3), 128, np.uint8)
         out_n = scoring.detector_timeline(noisy)
         out_s = scoring.detector_timeline(smooth)
-        assert out_n["weights"].endswith("detector_full")
+        # shipped path, tagged with the served calibration temperature
+        assert "detector_full" in out_n["weights"]
         # camera-like sensor noise scores less AI-like than flat frames
         assert max(out_n["timeline"]) < min(out_s["timeline"])
     finally:
@@ -170,3 +171,67 @@ def test_shipped_ckpt_resolution(tmp_path, monkeypatch):
     (tmp_path / "detector_small").mkdir()
     assert scoring._shipped_ckpt("vit", "small") == str(
         tmp_path / "detector_small")
+
+
+def test_fit_temperature_recovers_overconfidence():
+    """fit_temperature (Guo et al. 2017 post-hoc calibration) recovers a
+    known miscalibration scale: labels drawn from sigmoid(z) but logits
+    reported as 3z should fit T ~= 3; already-calibrated logits fit
+    T ~= 1."""
+    import sys
+    sys.path.insert(0, "tools")
+    from eval_detector import fit_temperature
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(0.0, 2.0, 20000)
+    y = (rng.random(20000) < 1.0 / (1.0 + np.exp(-z))).astype(np.int32)
+    assert abs(fit_temperature(z * 3.0, y) - 3.0) < 0.25
+    assert abs(fit_temperature(z, y) - 1.0) < 0.1
+
+
+def test_temperature_loader_precedence(tmp_path, monkeypatch, recwarn):
+    """_temperature: AVD_DETECTOR_TEMP overrides calibration.json
+    overrides the 1.0 default; invalid env warns and falls through."""
+    import json
+    monkeypatch.delenv("AVD_DETECTOR_TEMP", raising=False)
+    assert scoring._temperature(None) == 1.0
+    assert scoring._temperature(str(tmp_path)) == 1.0  # no file
+    (tmp_path / "calibration.json").write_text(
+        json.dumps({"temperature": 2.5}))
+    assert scoring._temperature(str(tmp_path)) == 2.5
+    monkeypatch.setenv("AVD_DETECTOR_TEMP", "4.0")
+    assert scoring._temperature(str(tmp_path)) == 4.0
+    monkeypatch.setenv("AVD_DETECTOR_TEMP", "bogus")
+    assert scoring._temperature(str(tmp_path)) == 2.5
+    assert any("AVD_DETECTOR_TEMP" in str(w.message) for w in recwarn.list)
+
+
+def test_serving_applies_temperature(monkeypatch):
+    """A served temperature rescales confidence toward 0.5 while
+    preserving the ranking (scoring._bundle divides logits by T before
+    the sigmoid; source string gains the +T suffix)."""
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.delenv("AVD_DETECTOR_CKPT", raising=False)
+    monkeypatch.delenv("AVD_DETECTOR_PRESET", raising=False)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (6, 64, 64, 3), dtype=np.uint8)
+
+    def run():
+        scoring._bundle.cache_clear()
+        try:
+            return scoring.detector_timeline(frames)
+        finally:
+            scoring._bundle.cache_clear()
+
+    monkeypatch.setenv("AVD_DETECTOR_TEMP", "1")
+    base = run()
+    monkeypatch.setenv("AVD_DETECTOR_TEMP", "10")
+    cal = run()
+    if base is None or cal is None:
+        pytest.skip("no detector bundle available")
+    b = np.array(base["timeline"])
+    c = np.array(cal["timeline"])
+    assert "+T10.00" in cal["weights"] and "+T" not in base["weights"]
+    # shrunk toward 0.5, same ranking
+    assert np.all(np.abs(c - 0.5) <= np.abs(b - 0.5) + 1e-12)
+    assert np.array_equal(np.argsort(b), np.argsort(c))

@@ -187,28 +187,30 @@ def test_interpolate_pos_emb_resolution_transfer(tmp_path):
     assert np.isfinite(losses).all()
 
 
-@pytest.mark.parametrize("preset,n,floor", [
-    ("small", 128, 0.65),     # measured unseen AUC ~0.79
-    ("moe_small", 128, 0.65),  # Switch-MoE EP variant (VERDICT r2 #8)
-    ("full", 64, 0.80),        # 224px flagship; measured unseen AUC 0.981
+@pytest.mark.parametrize("arch,preset,n,floor", [
+    ("vit", "small", 128, 0.65),     # measured unseen AUC ~0.79
+    ("vit", "moe_small", 128, 0.65),  # Switch-MoE EP (VERDICT r2 #8)
+    ("vit", "full", 64, 0.80),   # 224px flagship; measured unseen 0.981
+    ("cnn", "small", 128, 0.80),  # round-3 retrain; measured 0.985
 ])
-def test_shipped_detector_transfers_to_unseen_family(preset, n, floor):
-    """Every SHIPPED vit checkpoint (trained on blobs+geometric) must
-    score better than chance on the held-out 'texture' generator family
-    it never saw — the generalization claim behind the detector slot
-    (full table: tools/eval_detector.py, BASELINE.md).  Floors leave
-    sampling margin below the measured AUCs at these n."""
+def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
+                                                     floor):
+    """Every SHIPPED per-frame checkpoint (trained on blobs+geometric)
+    must score better than chance on the held-out 'texture' generator
+    family it never saw — the generalization claim behind the detector
+    slot (full table: tools/eval_detector.py, BASELINE.md).  Floors
+    leave sampling margin below the measured AUCs at these n."""
     import os
 
     from avd_tpu.models import scoring
     from tools.eval_detector import eval_checkpoint
 
-    ckpt = scoring._shipped_ckpt("vit", preset)
+    ckpt = scoring._shipped_ckpt(arch, preset)
     if ckpt is None or not os.path.isdir(ckpt):
         pytest.skip(f"no shipped {preset} checkpoint")
-    _, fams, _ = eval_checkpoint("vit", preset, ckpt, n=n,
-                                 jpeg_qualities=())
-    acc, auc, _ece = fams[train.HELDOUT_FAMILY]
+    _, fams, _, _T = eval_checkpoint(arch, preset, ckpt, n=n,
+                                     jpeg_qualities=())
+    acc, auc, _ece, _ece_t = fams[train.HELDOUT_FAMILY]
     assert auc > floor, (acc, auc)
     # and it actually learned its training families
     assert fams["blobs"][1] > 0.9 and fams["geometric"][1] > 0.9, fams

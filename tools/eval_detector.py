@@ -11,11 +11,16 @@ Produces the BASELINE.md table for each shipped checkpoint:
   JPEG quantization stands in as the closest available compression
   artifact model (same DCT-quantization family as intra-coded H.264);
 * ECE (expected calibration error, 15 equal-width bins over the
-  predicted AI probability: sum_b |mean p_b - frac positives_b| * n_b/N).
+  predicted AI probability: sum_b |mean p_b - frac positives_b| * n_b/N),
+  raw AND after temperature scaling (a scalar T fitted by NLL on a
+  calibration draw from the TRAINING families only — Guo et al. 2017;
+  `--write-calibration` persists T to <ckpt>/calibration.json, which
+  models/scoring.py serves by dividing logits by T before the sigmoid).
 
 Usage:
   python tools/eval_detector.py [--arch vit|cnn|temporal]
       [--preset small|full|moe_small] [--ckpt DIR] [--n 512] [--cpu]
+      [--write-calibration]
 
 The reference has no trained model (its detector slot is a closed-form
 heuristic, app/analyzers/video.py:54-57); this tool evaluates the
@@ -47,6 +52,49 @@ def _ece(p: np.ndarray, y: np.ndarray, bins: int = 15) -> float:
     return ece
 
 
+def fit_temperature(logits: np.ndarray, y: np.ndarray) -> float:
+    """Fit a scalar temperature T minimizing binary NLL of
+    sigmoid(logit / T) — the standard post-hoc calibration (Guo et al.
+    2017).  1-D golden-section search on log T; no scipy dependency.
+
+    Constrained to T >= 1 (soften-only): when the calibration set is
+    perfectly separated (these synthetic curricula often are), the
+    unconstrained NLL minimizer is T -> 0 (sharpen to certainty), which
+    is exactly the overconfidence calibration exists to remove; a
+    boundary fit at T=1 honestly means "no reliable temperature
+    signal", not "sharpen"."""
+    z = logits.astype(np.float64)
+    t = y.astype(np.float64)
+
+    def nll(log_T: float) -> float:
+        s = z / np.exp(log_T)
+        # stable log(sigmoid): -softplus(-s); log(1-sigmoid): -softplus(s)
+        sp = np.logaddexp(0.0, -s)
+        sn = np.logaddexp(0.0, s)
+        return float(np.mean(t * sp + (1.0 - t) * sn))
+
+    lo, hi = np.log(1.0), np.log(50.0)
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = nll(c), nll(d)
+    for _ in range(60):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = nll(d)
+    return float(np.exp((a + b) / 2.0))
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    """Overflow-safe sigmoid (exact to f64 precision: |z|>60 saturates)."""
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -60.0, 60.0)))
+
+
 def _jpeg_roundtrip(frames: np.ndarray, quality: int) -> np.ndarray:
     """[N,H,W,3] f32 RGB in [0,1] → same, through a JPEG encode/decode."""
     import cv2
@@ -65,8 +113,9 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
                     ckpt: str | None = None, n: int = 512,
                     batch: int = 64, seed: int = 999,
                     jpeg_qualities=(95, 75, 50, 30)):
-    """Returns {family: (acc, auc, ece)}, {quality: (acc, auc)} for the
-    given checkpoint (default: the shipped one for (arch, preset))."""
+    """Returns (label, {family: (acc, auc, ece, ece_at_T)},
+    {quality: (acc, auc)}, T) for the given checkpoint (default: the
+    shipped one for (arch, preset))."""
     import jax
     import jax.numpy as jnp
 
@@ -85,62 +134,86 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
 
     if arch == "temporal":
         @jax.jit
-        def probs_fn(p, fb):
-            return jax.nn.sigmoid(temporal.forward(
-                p, fb, cfg)[..., 0].astype(jnp.float32))
+        def logits_fn(p, fb):
+            return temporal.forward(p, fb, cfg)[..., 0] \
+                .astype(jnp.float32)
 
-        def run(families):
-            rng = np.random.default_rng(seed)
-            ps, ys = [], []
+        def run(families, rng_seed=seed):
+            rng = np.random.default_rng(rng_seed)
+            zs, ys = [], []
             for _ in range(max(1, n // (batch * 8))):
                 frames, labels = temporal.synthetic_sequences(
                     rng, batch // 4, 8, cfg.image_size,
                     families=families)
-                ps.append(np.asarray(probs_fn(
+                zs.append(np.asarray(logits_fn(
                     params, jnp.asarray(frames))).ravel())
                 ys.append(labels.ravel())
-            return np.concatenate(ps), np.concatenate(ys)
+            return np.concatenate(zs), np.concatenate(ys)
 
+        from avd_tpu.models.train import TRAIN_FAMILIES
+        zc, yc = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 1)
+        T = fit_temperature(zc, yc)
         per_family = {}
         for fam in GENERATOR_FAMILIES:
-            p, y = run((fam,))
+            z, y = run((fam,))
+            p = _sigmoid(z)
             acc, auc = _acc_auc(p, y)
-            per_family[fam] = (acc, auc, _ece(p, y))
-        return label, per_family, {}  # sequence JPEG sweep omitted
+            pT = _sigmoid(z / T)
+            per_family[fam] = (acc, auc, _ece(p, y), _ece(pT, y))
+        return label, per_family, {}, T  # sequence JPEG sweep omitted
 
     @jax.jit
-    def probs_fn(p, fb):
-        return jax.nn.sigmoid(fam_mod.forward(
-            p, fb, cfg)[:, 0].astype(jnp.float32))
+    def logits_fn(p, fb):
+        return fam_mod.forward(p, fb, cfg)[:, 0].astype(jnp.float32)
 
-    def run(families, transform=None):
-        rng = np.random.default_rng(seed)
-        ps, ys = [], []
+    def run(families, transform=None, rng_seed=seed):
+        rng = np.random.default_rng(rng_seed)
+        zs, ys = [], []
         for _ in range(max(1, n // batch)):
             frames, labels = synthetic_batch(rng, batch, cfg.image_size,
                                              families)
             if transform is not None:
                 frames = transform(frames)
-            ps.append(np.asarray(probs_fn(params, jnp.asarray(frames))))
+            zs.append(np.asarray(logits_fn(params, jnp.asarray(frames))))
             ys.append(labels)
-        return np.concatenate(ps), np.concatenate(ys)
+        return np.concatenate(zs), np.concatenate(ys)
+
+    # temperature fitted on a calibration draw from the TRAINING
+    # families only (disjoint seed) — the unseen family stays unseen.
+    # Half the draw goes through a JPEG-q50 round trip: on the clean
+    # curriculum these models are perfectly separated (degenerate NLL,
+    # see fit_temperature), so deployment-like compressed frames are
+    # what carries the calibration signal.
+    from avd_tpu.models.train import TRAIN_FAMILIES
+    zc, yc = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 1)
+    try:
+        import cv2  # noqa: F401
+        zj, yj = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 2,
+                     transform=lambda f: _jpeg_roundtrip(f, 50))
+        zc, yc = np.concatenate([zc, zj]), np.concatenate([yc, yj])
+    except ImportError:
+        pass
+    T = fit_temperature(zc, yc)
 
     per_family = {}
     for fam in GENERATOR_FAMILIES:
-        p, y = run((fam,))
+        z, y = run((fam,))
+        p = _sigmoid(z)
         acc, auc = _acc_auc(p, y)
-        per_family[fam] = (acc, auc, _ece(p, y))
+        pT = _sigmoid(z / T)
+        per_family[fam] = (acc, auc, _ece(p, y), _ece(pT, y))
 
     sweep = {}
     try:
         import cv2  # noqa: F401
         for q in jpeg_qualities:
-            p, y = run(tuple(GENERATOR_FAMILIES),
+            z, y = run(tuple(GENERATOR_FAMILIES),
                        transform=lambda f, q=q: _jpeg_roundtrip(f, q))
+            p = _sigmoid(z)
             sweep[q] = _acc_auc(p, y)
     except ImportError:
         pass
-    return label, per_family, sweep
+    return label, per_family, sweep, T
 
 
 def main() -> int:
@@ -153,28 +226,46 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=999)
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (leave the TPU to another job)")
+    ap.add_argument("--write-calibration", action="store_true",
+                    help="write the fitted temperature to "
+                         "<ckpt>/calibration.json (served via "
+                         "models/scoring.py)")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
     from avd_tpu.models.train import HELDOUT_FAMILY, TRAIN_FAMILIES
-    label, fams, sweep = eval_checkpoint(args.arch, args.preset,
-                                         args.ckpt, n=args.n,
-                                         seed=args.seed)
+    label, fams, sweep, T = eval_checkpoint(args.arch, args.preset,
+                                            args.ckpt, n=args.n,
+                                            seed=args.seed)
     print(f"checkpoint: {label}")
     print(f"(training families: {'+'.join(TRAIN_FAMILIES)}; "
-          f"unseen: {HELDOUT_FAMILY})")
-    print("| family | acc | AUC | ECE |")
-    print("|---|---|---|---|")
-    for fam, (acc, auc, ece) in fams.items():
+          f"unseen: {HELDOUT_FAMILY}; fitted temperature T={T:.3f})")
+    print("| family | acc | AUC | ECE | ECE@T |")
+    print("|---|---|---|---|---|")
+    for fam, (acc, auc, ece, ece_t) in fams.items():
         tag = " (unseen)" if fam == HELDOUT_FAMILY else ""
-        print(f"| {fam}{tag} | {acc:.3f} | {auc:.3f} | {ece:.3f} |")
+        print(f"| {fam}{tag} | {acc:.3f} | {auc:.3f} | {ece:.3f} "
+              f"| {ece_t:.3f} |")
     if sweep:
         print("| JPEG q | acc | AUC |")
         print("|---|---|---|")
         for q, (acc, auc) in sweep.items():
             print(f"| {q} | {acc:.3f} | {auc:.3f} |")
+    if args.write_calibration:
+        import json
+        ckpt_dir = label if os.path.isdir(str(label)) else None
+        if not ckpt_dir:
+            print("--write-calibration: no checkpoint dir to write into",
+                  file=sys.stderr)
+            return 1
+        path = os.path.join(ckpt_dir, "calibration.json")
+        with open(path, "w") as f:
+            json.dump({"temperature": T,
+                       "fit": {"families": list(TRAIN_FAMILIES),
+                               "n": args.n, "seed": args.seed + 1}}, f)
+        print(f"wrote {path}")
     return 0
 
 
