@@ -132,6 +132,12 @@ def _bind(L):
         L.avd_probe.argtypes = [ctypes.c_char_p,
                                 ctypes.POINTER(ProbeInfoStruct)]
         L.avd_probe.restype = ctypes.c_int32
+        L.avd_venc_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p]
+        L.avd_venc_write.restype = ctypes.c_int32
     return L
 
 
@@ -259,6 +265,29 @@ def mux_audio(path: str, samples: np.ndarray, rate: int) -> bool:
     samples = np.ascontiguousarray(samples, np.float32)
     rc = L.avd_mux_audio(path.encode(), samples.ctypes.data,
                          samples.size, rate)
+    return rc == 0
+
+
+def encode_video(path: str, frames_bgr: np.ndarray, fps: float = 30.0,
+                 codec: str = "libx264", crf: int = -1, gop: int = 0,
+                 preset: str = "veryfast") -> bool:
+    """Encode [T, H, W, 3] BGR u8 frames to a real video file.
+
+    Drives libavcodec's libx264/libx265/mpeg4 encoders directly (this
+    image has no ffmpeg binary) — the encode side of the compression
+    round-trips the detector robustness eval and training augmentation
+    run (tools/eval_detector.py; the reference's whole input domain is
+    compressed uploads, heuristics_v2.py:9-12).  crf >= 0 selects
+    constant-rate-factor mode (mapped to qscale for mpeg4); gop > 0 pins
+    the keyframe interval.  Dimensions must be even (yuv420p)."""
+    L = lib()
+    if L is None:
+        return False
+    frames_bgr = np.ascontiguousarray(frames_bgr, np.uint8)
+    t, h, w = frames_bgr.shape[:3]
+    rc = L.avd_venc_write(path.encode(), frames_bgr.ctypes.data, t, w, h,
+                          float(fps), codec.encode(), int(crf), int(gop),
+                          preset.encode())
     return rc == 0
 
 

@@ -1,7 +1,7 @@
 // avd_decode.cc — libav*-based media ingest for the TPU video-forensics
 // framework.
 //
-// Two components, both exposed through a C ABI for ctypes:
+// Three components, all exposed through a C ABI for ctypes:
 //
 //  1. Sampled-frame video feeder.  The reference walks EVERY frame with
 //     cv2 grab() and retrieves each step-th one
@@ -23,6 +23,10 @@
 //     decode → swr to mono s16 @ 16 kHz — the byte-equivalent of the
 //     reference's WAV intermediary, without the subprocess or the temp
 //     file.
+//
+//  3. Video encoder (avd_venc_write, below).  Real H.264/H.265/MPEG-4
+//     compression round-trips for detector robustness eval + training
+//     augmentation — libavcodec's in-image encoders driven directly.
 //
 // Build: g++ -shared -O2 avd_decode.cc -lavformat -lavcodec -lavutil
 //        -lswscale -lswresample
@@ -730,6 +734,135 @@ int32_t avd_probe(const char* path, AvdProbeInfo* out) {
              f->iformat->name);
   avformat_close_input(&f);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// video encoder: real H.264/H.265/MPEG-4 compression round-trips.
+//
+// The reference's whole domain is COMPRESSED uploads — its heuristics
+// classify bits-per-pixel compression classes
+// (/root/reference/app/analyzers/heuristics_v2.py:9-12) and fusion
+// penalizes heavy compression (/root/reference/app/analyzers/fusion.py:44).
+// Detector robustness therefore has to be measured (and trained) against
+// real codec artifacts: temporally-correlated blocking/ringing/motion-
+// compensation residue that JPEG quantization cannot model.  This image has
+// no ffmpeg binary, but libavcodec.so.59 ships working libx264/libx265/
+// mpeg4 encoders; this entry point drives them directly, the same way the
+// decode side replaces the reference's ffmpeg subprocess.
+// ---------------------------------------------------------------------------
+
+// Encode n tightly-packed BGR24 frames as one video file at `path`
+// (container from the extension, use .mp4).  crf >= 0 selects constant-
+// rate-factor mode on x264/x265 (and maps to qscale on mpeg4); gop <= 0
+// keeps the codec default keyframe interval.  Returns 0 on success.
+int32_t avd_venc_write(const char* path, const uint8_t* bgr, int64_t n,
+                       int32_t w, int32_t h, double fps,
+                       const char* codec_name, int32_t crf, int32_t gop,
+                       const char* preset) {
+  av_log_set_level(AV_LOG_ERROR);
+  if (n <= 0 || w <= 0 || h <= 0 || (w % 2) || (h % 2) || fps <= 0.0)
+    return -1;  // yuv420p needs even dimensions
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
+      !fmt)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+  int rc = -1;
+  AVCodecContext* enc = nullptr;
+  AVStream* st = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frm = nullptr;
+  AVPacket* pkt = nullptr;
+  AVRational tb;
+  bool is_x26x = false;
+  if (!codec) goto done;
+  st = avformat_new_stream(fmt, nullptr);
+  enc = avcodec_alloc_context3(codec);
+  if (!st || !enc) goto done;
+  tb = av_inv_q(av_d2q(fps, 1 << 24));
+  enc->width = w;
+  enc->height = h;
+  enc->time_base = tb;
+  enc->framerate = av_inv_q(tb);
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  if (gop > 0) enc->gop_size = gop;
+  is_x26x = std::strcmp(codec_name, "libx264") == 0 ||
+            std::strcmp(codec_name, "libx265") == 0;
+  if (is_x26x) {
+    if (crf >= 0) {
+      char buf[16];
+      snprintf(buf, sizeof(buf), "%d", crf);
+      av_opt_set(enc->priv_data, "crf", buf, 0);
+    }
+    if (preset && preset[0]) av_opt_set(enc->priv_data, "preset", preset, 0);
+    if (std::strcmp(codec_name, "libx265") == 0)
+      av_opt_set(enc->priv_data, "x265-params", "log-level=error", 0);
+  } else if (crf >= 0) {
+    // qscale mode for the MPEG-4 part-2 family: map CRF-ish 0..51 onto
+    // the 1..31 quantizer range.
+    enc->flags |= AV_CODEC_FLAG_QSCALE;
+    int q = 1 + crf * 30 / 51;
+    enc->global_quality = FF_QP2LAMBDA * (q < 1 ? 1 : (q > 31 ? 31 : q));
+  }
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) goto done;
+  if (avcodec_parameters_from_context(st->codecpar, enc) < 0) goto done;
+  st->time_base = enc->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+    goto done;
+  if (avformat_write_header(fmt, nullptr) < 0) goto done;
+
+  sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
+                       SWS_BICUBIC, nullptr, nullptr, nullptr);
+  frm = av_frame_alloc();
+  pkt = av_packet_alloc();
+  if (!sws || !frm || !pkt) goto done;
+  frm->format = AV_PIX_FMT_YUV420P;
+  frm->width = w;
+  frm->height = h;
+  if (av_frame_get_buffer(frm, 0) < 0) goto done;
+
+  for (int64_t i = 0; i < n; i++) {
+    if (av_frame_make_writable(frm) < 0) goto done;
+    const uint8_t* src[1] = {bgr + i * static_cast<int64_t>(w) * h * 3};
+    const int stride[1] = {w * 3};
+    sws_scale(sws, src, stride, 0, h, frm->data, frm->linesize);
+    frm->pts = i;
+    if (enc->flags & AV_CODEC_FLAG_QSCALE)
+      frm->quality = enc->global_quality;
+    if (avcodec_send_frame(enc, frm) < 0) goto done;
+    while (avcodec_receive_packet(enc, pkt) == 0) {
+      // a zero-duration final sample lands exactly on the track's edit-
+      // list boundary and gets DISCARD-flagged on demux — every frame is
+      // one tick of the 1/fps encoder time base
+      if (pkt->duration <= 0) pkt->duration = 1;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+    }
+  }
+  avcodec_send_frame(enc, nullptr);
+  while (avcodec_receive_packet(enc, pkt) == 0) {
+    if (pkt->duration <= 0) pkt->duration = 1;
+    av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+  }
+  av_write_trailer(fmt);
+  rc = 0;
+done:
+  if (sws) sws_freeContext(sws);
+  if (frm) av_frame_free(&frm);
+  if (pkt) av_packet_free(&pkt);
+  if (enc) avcodec_free_context(&enc);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+      avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return rc;
 }
 
 // Remux: copy the video stream of `video_path` and add an AAC track
