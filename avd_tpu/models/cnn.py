@@ -223,14 +223,21 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: CNNConfig,
 
 
 def loss_fn(params, frames, labels, cfg: CNNConfig,
-            sharded: bool = False) -> jnp.ndarray:
-    """Sigmoid BCE in f32 (labels: [B] in {0,1})."""
-    from avd_tpu.models.detector import _bce
-    return _bce(forward(params, frames, cfg, sharded=sharded)[:, 0], labels)
+            sharded: bool = False, logit_l2: float = 0.0) -> jnp.ndarray:
+    """Sigmoid BCE in f32 (labels: [B] in {0,1}) + optional logit-scale
+    regularizer (detector._logit_l2)."""
+    from avd_tpu.models.detector import _bce, _logit_l2
+    z = forward(params, frames, cfg, sharded=sharded)[:, 0]
+    loss = _bce(z, labels)
+    if logit_l2:
+        loss = loss + _logit_l2(z, logit_l2)
+    return loss
 
 
-def make_train_step(cfg: CNNConfig, optimizer, sharded: bool = False):
+def make_train_step(cfg: CNNConfig, optimizer, sharded: bool = False,
+                    logit_l2: float = 0.0):
     """(params, opt_state, frames, labels) → (params, opt_state, loss) —
     the shared optimizer-step body with this family's loss."""
     from avd_tpu.models import detector
-    return detector.make_train_step(cfg, optimizer, sharded, loss=loss_fn)
+    return detector.make_train_step(cfg, optimizer, sharded, loss=loss_fn,
+                                    logit_l2=logit_l2)

@@ -602,18 +602,36 @@ def _bce(z: jnp.ndarray, labels) -> jnp.ndarray:
     return jnp.mean(per)
 
 
+def _logit_l2(z: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """Score-distribution regularizer: coef * mean(z^2) on the raw
+    logits.  BCE alone pushes separable training families to unbounded
+    margins, so an UNSEEN family's logits land wherever the features
+    extrapolate — typically clustered mid-scale, where the 0.5 threshold
+    misclassifies even at high AUC (BASELINE.md round 3: flagship
+    unseen acc 0.592 at AUC 0.981).  Bounding the training-family logit
+    scale keeps decision margins comparable across families, the same
+    mechanism as logit normalization (Wei et al. 2022) adapted to a
+    single-logit binary head."""
+    return coef * jnp.mean(jnp.square(z.astype(jnp.float32)))
+
+
 def loss_fn(params, frames, labels, cfg: ViTConfig,
-            sharded: bool = False) -> jnp.ndarray:
+            sharded: bool = False, logit_l2: float = 0.0) -> jnp.ndarray:
     """Sigmoid BCE in f32 (labels: [B] in {0,1}); MoE configs add the
-    Switch load-balancing aux loss (coefficient 0.01)."""
+    Switch load-balancing aux loss (coefficient 0.01); ``logit_l2``
+    adds the score-scale regularizer (_logit_l2)."""
     out, aux = forward(params, frames, cfg, sharded=sharded, with_aux=True)
-    loss = _bce(out[:, 0], labels)
+    z = out[:, 0]
+    loss = _bce(z, labels)
     if cfg.n_experts:
         loss = loss + 0.01 * aux
+    if logit_l2:
+        loss = loss + _logit_l2(z, logit_l2)
     return loss
 
 
-def make_train_step(cfg, optimizer, sharded: bool = False, loss=None):
+def make_train_step(cfg, optimizer, sharded: bool = False, loss=None,
+                    logit_l2: float = 0.0):
     """(params, opt_state, frames, labels) → (params, opt_state, loss).
 
     ``loss`` defaults to this module's ``loss_fn``; the CNN family passes
@@ -622,7 +640,7 @@ def make_train_step(cfg, optimizer, sharded: bool = False, loss=None):
 
     def step(params, opt_state, frames, labels):
         lval, grads = jax.value_and_grad(loss)(params, frames, labels,
-                                               cfg, sharded)
+                                               cfg, sharded, logit_l2)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)

@@ -332,18 +332,25 @@ def forward_time_sharded(params: Dict[str, Any], frames: jnp.ndarray,
 
 
 def loss_fn(params, frames, labels, cfg: TemporalConfig,
-            sharded: bool = False) -> jnp.ndarray:
+            sharded: bool = False, logit_l2: float = 0.0) -> jnp.ndarray:
     """Per-frame sigmoid BCE; ``labels``: [B, T] in {0,1}.  ``sharded``
     is accepted for family-API parity (GSPMD has nothing to shard here —
-    time parallelism goes through forward_time_sharded)."""
+    time parallelism goes through forward_time_sharded).  ``logit_l2``
+    adds the score-scale regularizer (detector._logit_l2)."""
     del sharded
-    logits = forward(params, frames, cfg)[..., 0]
-    return _bce(logits.reshape(-1), labels.reshape(-1))
+    from avd_tpu.models.detector import _logit_l2
+    z = forward(params, frames, cfg)[..., 0].reshape(-1)
+    loss = _bce(z, labels.reshape(-1))
+    if logit_l2:
+        loss = loss + _logit_l2(z, logit_l2)
+    return loss
 
 
-def make_train_step(cfg: TemporalConfig, optimizer, sharded: bool = False):
+def make_train_step(cfg: TemporalConfig, optimizer, sharded: bool = False,
+                    logit_l2: float = 0.0):
     from avd_tpu.models import detector
-    return detector.make_train_step(cfg, optimizer, sharded, loss=loss_fn)
+    return detector.make_train_step(cfg, optimizer, sharded, loss=loss_fn,
+                                    logit_l2=logit_l2)
 
 
 def synthetic_sequences(rng: np.random.Generator, batch: int, t: int,

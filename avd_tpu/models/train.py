@@ -138,15 +138,63 @@ def _frame_texture(rng: np.random.Generator, size: int, ai_like: bool):
     return img
 
 
+def _frame_cellular(rng: np.random.Generator, size: int, ai_like: bool):
+    """Family D (round 4) — Voronoi cell scenes: flat irregular regions
+    with hard boundaries (nearest-seed coloring + gentle shading).
+    AI cue = color POSTERIZATION (the banding common to generator
+    decoders) + boundary smoothing; camera cue = directional motion-blur
+    streak + luminance detail + Gaussian noise + rare hot pixels.  Both
+    cue parameterizations are distinct from families A-C (Gaussian/box
+    smoothing, checkerboard upsample; sensor/row-gain/shot noise), so a
+    model must learn the smooth-vs-noisy META-cue, not one family's
+    artifact signature — this is the diversity that attacks the
+    threshold-transfer problem (unseen-family scores clustering at the
+    middle, BASELINE.md round 3)."""
+    k = int(rng.integers(4, 10))
+    pts = rng.random((k, 2)).astype(np.float32)
+    colors = rng.random((k, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    d = ((yy[..., None] - pts[:, 0]) ** 2
+         + (xx[..., None] - pts[:, 1]) ** 2)
+    base = colors[np.argmin(d, axis=-1)]
+    shade = 0.75 + 0.25 * (rng.random() * xx + rng.random() * yy)
+    base = np.clip(base * shade[..., None], 0, 1)
+    if ai_like:
+        # posterize: quantize each channel to few levels (banding), then
+        # smooth the cell boundaries
+        levels = int(rng.integers(5, 10))
+        img = np.floor(base * levels) / max(1, levels - 1)
+        img = _smooth(np.clip(img, 0, 1), 0.6 + 0.8 * rng.random())
+        img += rng.normal(0, 0.004, img.shape).astype(np.float32)
+    else:
+        detail = rng.random((size, size, 3)).astype(np.float32)
+        img = base * (0.85 + 0.15 * detail) + 0.10 * detail
+        # directional motion-blur streak (camera shake), then noise
+        klen = int(rng.integers(2, 5))
+        kern = np.ones(klen, np.float32) / klen
+        ax = int(rng.integers(0, 2))
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, kern, mode="same"), ax, img)
+        img += rng.normal(0, 0.010 + 0.015 * rng.random(),
+                          img.shape).astype(np.float32)
+        # rare hot pixels (sensor defects)
+        hot = rng.random((size, size)) < 3e-4
+        img[hot] = 1.0
+    return img
+
+
 # Procedural generator families (labels 1 = AI-like in all of them).
-# Default TRAINING uses blobs+geometric; texture stays HELD OUT as the
-# unseen-family transfer eval (tools/eval_detector.py, BASELINE.md).
+# Default TRAINING uses blobs+geometric+cellular; texture stays HELD OUT
+# as the unseen-family transfer eval (tools/eval_detector.py,
+# BASELINE.md) — the same held-out family since round 3, so transfer
+# numbers remain comparable across rounds.
 GENERATOR_FAMILIES = {
     "blobs": _frame_blobs,
     "geometric": _frame_geometric,
     "texture": _frame_texture,
+    "cellular": _frame_cellular,
 }
-TRAIN_FAMILIES = ("blobs", "geometric")
+TRAIN_FAMILIES = ("blobs", "geometric", "cellular")
 HELDOUT_FAMILY = "texture"
 
 
@@ -234,6 +282,51 @@ def evaluate_sequences(params, cfg, n: int = 64, t: int = 8,
     return _acc_auc(np.concatenate(ps), np.concatenate(ys))
 
 
+def augment_pool_codec(frames: np.ndarray, frac: float,
+                       rng: np.random.Generator,
+                       sequences: bool = False) -> np.ndarray:
+    """Run a ``frac`` fraction of the sample pool through REAL codec
+    round-trips (avd_tpu/ingest/codec.py) at mixed severities.
+
+    Deployment inputs are sampled frames of compressed uploads — the
+    reference's whole domain (heuristics_v2.py:9-12 classifies
+    bits-per-pixel compression) — so training on pristine procedural
+    frames bakes in a clean-data prior that JPEG-quality evals exposed
+    (BASELINE.md round 3).  Each selected sample gets a random codec
+    (H.264-weighted) and CRF from the eval sweep; per-frame pools ride
+    ``roundtrip_frames`` (P-frame artifacts), sequence pools
+    ``roundtrip_sequences``.  One-time pool cost — the train loop's
+    per-step path is untouched."""
+    from avd_tpu.ingest import codec as codec_mod
+    if frac <= 0:
+        return frames
+    if not codec_mod.available():
+        raise RuntimeError("--aug-codec: libav* encoder unavailable")
+    n = frames.shape[0]
+    n_aug = int(round(n * min(1.0, frac)))
+    if n_aug == 0:
+        return frames
+    sel = rng.choice(n, n_aug, replace=False)
+    codecs = np.asarray(["libx264", "libx264", "libx265", "mpeg4"])
+    pick_codec = codecs[rng.integers(0, len(codecs), n_aug)]
+    pick_crf = np.asarray(codec_mod.CRF_SWEEP)[
+        rng.integers(0, len(codec_mod.CRF_SWEEP), n_aug)]
+    out = frames.copy()
+    for cname in np.unique(pick_codec):
+        for crf in np.unique(pick_crf):
+            m = (pick_codec == cname) & (pick_crf == crf)
+            if not m.any():
+                continue
+            idx = sel[m]
+            if sequences:
+                out[idx] = codec_mod.roundtrip_sequences(
+                    frames[idx], codec=str(cname), crf=int(crf))
+            else:
+                out[idx] = codec_mod.roundtrip_frames(
+                    frames[idx], codec=str(cname), crf=int(crf), rng=rng)
+    return out
+
+
 def _dir_batches(root: str, rng, batch: int, size: int):
     """Yield (frames, labels) from real/ and ai/ image folders."""
     import os
@@ -270,7 +363,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           cache_samples: int = 8192, arch: str = "vit",
           experts: int = 0, pp_stages: int = 0, pp_tp: int = 0,
           remat: bool = False, scan: bool = False, seq_len: int = 8,
-          init_from: str | None = None, families=("blobs",)):
+          init_from: str | None = None, families=("blobs",),
+          aug_codec: float = 0.0, logit_l2: float = 0.0,
+          resume: bool = False, save_every: int = 0):
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -278,6 +375,12 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     from avd_tpu.parallel import mesh as mesh_mod
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
+
+    if resume and init_from:
+        raise ValueError("--resume and --init-from are mutually exclusive")
+    if resume and not out:
+        raise ValueError("--resume continues the run saved at --out")
+    state_path = f"{out}.train" if out else None
 
     detector = models.family(arch)
     if arch == "cnn":
@@ -325,6 +428,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         params = interpolate_pos_emb(restored, cfg)
         print(f"initialized from {init_from} (trained at {probe_size}px; "
               f"pos_emb -> {cfg.tokens} tokens)", flush=True)
+    if resume:
+        if not os.path.isdir(out) or not os.path.isdir(state_path or ""):
+            raise ValueError(f"--resume: no checkpoint+train state at "
+                             f"{out}[.train]")
+        params = detector.load_checkpoint(out, params)
     optimizer = detector.make_optimizer(lr)
 
     n_dev = len(jax.devices())
@@ -350,6 +458,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         else:
             mesh = mesh_mod.make_mesh(n_dev, axes=("data", "stage"),
                                       shape=(n_dev // pp_stages, pp_stages))
+        if logit_l2:
+            raise ValueError("--logit-l2 is not plumbed through the "
+                             "pipelined loss; use the dp/tp path")
         sharded = True
         opt_state = optimizer.init(params)
         step_fn = jax.jit(detector.make_pp_train_step(cfg, optimizer,
@@ -361,7 +472,18 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                                            detector.param_specs(cfg))
         opt_state = optimizer.init(params)
         step_fn = jax.jit(detector.make_train_step(cfg, optimizer,
-                                                   sharded=sharded))
+                                                   sharded=sharded,
+                                                   logit_l2=logit_l2))
+
+    start_step = 0
+    if resume:
+        # restore optimizer state + step counter on the host; the first
+        # step_fn call re-places them (matching params' shardings)
+        st = detector.load_checkpoint(
+            state_path, jax.device_get({"step": 0, "opt_state": opt_state}))
+        opt_state = st["opt_state"]
+        start_step = int(st["step"])
+        print(f"resumed at step {start_step} from {state_path}", flush=True)
 
     rng = np.random.default_rng(seed)
     batches = (_dir_batches(data, rng, batch, image_size) if data else None)
@@ -384,6 +506,19 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 pl.append(lab)
             pool = (np.concatenate(pf), np.concatenate(pl))
 
+    if pool is not None and aug_codec > 0:
+        t_aug = time.time()
+        aug_rng = np.random.default_rng((seed, 77))
+        pool = (augment_pool_codec(pool[0], aug_codec, aug_rng,
+                                   sequences=(arch == "temporal")),
+                pool[1])
+        print(f"codec augmentation: {aug_codec:.0%} of the pool through "
+              f"H.264/H.265/MPEG-4 round-trips "
+              f"({time.time() - t_aug:.1f}s)", flush=True)
+    elif aug_codec > 0:
+        raise ValueError("--aug-codec requires the sample-pool path "
+                         "(--cache-samples > 0, no --data)")
+
     # Device-resident pool: on a single device behind the slow axon tunnel
     # (~35 MB/s H2D) the per-step batch put dominates wall clock at large
     # image sizes (224px x batch 64 = 38.5 MB/step).  Upload the fixed pool
@@ -399,21 +534,44 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
               f"({pool[0].nbytes / 1e6:.0f} MB, {pool_n} samples)",
               flush=True)
 
+    def _save_state(at_step: int) -> None:
+        if not out:
+            return
+        detector.save_checkpoint(out, jax.device_get(params))
+        detector.save_checkpoint(
+            state_path, jax.device_get({"step": at_step,
+                                        "opt_state": opt_state}))
+        # training provenance beside the weights: what produced this
+        # checkpoint (tests and evals read `families` instead of
+        # assuming the current TRAIN_FAMILIES)
+        import json
+        with open(os.path.join(out, "train_meta.json"), "w") as f:
+            json.dump({"arch": arch, "families": list(families),
+                       "steps": at_step, "batch": batch, "lr": lr,
+                       "image_size": image_size, "seed": seed,
+                       "aug_codec": aug_codec, "logit_l2": logit_l2,
+                       "init_from": init_from}, f)
+
     losses = []
     import contextlib
     ctx = mesh or contextlib.nullcontext()
     with ctx:
         t0 = time.time()
-        for step in range(steps):
+        for step in range(start_step, steps):
+            # per-step DERIVED rng for pool index draws: resume at step k
+            # replays exactly the batches an uninterrupted run would see
+            # (tests/test_train.py::test_resume_bit_compatible)
+            step_rng = np.random.default_rng((seed, 1_000_003 + step))
             if dev_pool is not None:
-                idx = jnp.asarray(rng.integers(0, pool_n, batch), jnp.int32)
+                idx = jnp.asarray(step_rng.integers(0, pool_n, batch),
+                                  jnp.int32)
                 fb = jnp.take(dev_pool[0], idx, axis=0)
                 lb = jnp.take(dev_pool[1], idx, axis=0)
             else:
                 if batches is not None:
                     frames, labels = next(batches)
                 elif pool is not None:
-                    idx = rng.integers(0, pool[0].shape[0], batch)
+                    idx = step_rng.integers(0, pool[0].shape[0], batch)
                     frames, labels = pool[0][idx], pool[1][idx]
                 elif arch == "temporal":
                     from avd_tpu.models import temporal
@@ -431,9 +589,12 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             params, opt_state, loss = step_fn(params, opt_state, fb, lb)
             losses.append(float(loss))
             if log_every and step % log_every == 0:
-                rate = (step + 1) * batch / (time.time() - t0)
+                rate = (step - start_step + 1) * batch / (time.time() - t0)
                 print(f"step {step:5d}  loss {losses[-1]:.4f}  "
                       f"{rate:.1f} frames/s", flush=True)
+            if save_every and (step + 1) % save_every == 0 \
+                    and step + 1 < steps:
+                _save_state(step + 1)
 
     if arch == "temporal":
         acc, auc = evaluate_sequences(params, cfg, t=seq_len,
@@ -443,8 +604,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
           flush=True)
     if out:
-        detector.save_checkpoint(out, jax.device_get(params))
-        print(f"checkpoint written to {out}", flush=True)
+        _save_state(steps)
+        print(f"checkpoint written to {out} (+ {state_path} for --resume)",
+              flush=True)
     return params, losses
 
 
@@ -487,6 +649,26 @@ def main() -> int:
                     dest="cache_samples",
                     help="pre-generated sample pool size (the single "
                          "shared host core is the data bottleneck)")
+    ap.add_argument("--aug-codec", type=float, default=0.0,
+                    dest="aug_codec", metavar="FRAC",
+                    help="fraction of the sample pool run through real "
+                         "H.264/H.265/MPEG-4 round-trips at mixed CRFs "
+                         "(ingest/codec.py; deployment inputs are "
+                         "compressed uploads)")
+    ap.add_argument("--logit-l2", type=float, default=0.0,
+                    dest="logit_l2", metavar="COEF",
+                    help="score-distribution regularizer: COEF*mean(z^2) "
+                         "on the raw logits (bounds training-family "
+                         "margins so unseen-family scores separate at "
+                         "the 0.5 threshold)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue the run saved at --out (params from "
+                         "<out>, optimizer state + step from <out>.train; "
+                         "bit-compatible on the sample-pool path)")
+    ap.add_argument("--save-every", type=int, default=0,
+                    dest="save_every", metavar="K",
+                    help="checkpoint params + train state every K steps "
+                         "(besides the final save)")
     ap.add_argument("--families", default="blobs",
                     help="comma-separated procedural generator families "
                          f"for train+eval data (available: "
@@ -513,7 +695,9 @@ def main() -> int:
                       pp_tp=args.pp_tp, remat=args.remat, scan=args.scan,
                       seq_len=args.seq_len, init_from=args.init_from,
                       cache_samples=args.cache_samples,
-                      families=tuple(args.families.split(",")))
+                      families=tuple(args.families.split(",")),
+                      aug_codec=args.aug_codec, logit_l2=args.logit_l2,
+                      resume=args.resume, save_every=args.save_every)
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

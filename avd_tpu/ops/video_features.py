@@ -289,12 +289,16 @@ def _window_motion(w320: np.ndarray) -> float:
 def _use_delta(w320: np.ndarray, target: int, chunk: int) -> bool:
     """Per-window delta decision (see _h2d_delta_mode)."""
     mode = _h2d_delta_mode()
-    if mode == "1":
-        return True
     if mode == "0":
         return False
     if target != chunk + 1:
-        return False  # tails ride the raw programs (small puts anyway)
+        # Tails ride the raw programs in EVERY mode (small puts anyway):
+        # only the full bucket's delta variant is warmed (warm_device,
+        # tools/precompile.py), so a forced-delta tail would pay a cold
+        # Mosaic program load — minutes — mid-request.
+        return False
+    if mode == "1":
+        return True
     return _window_motion(w320) < _delta_thresh()
 
 
@@ -772,7 +776,12 @@ def compute_features_streaming(chunk_iter) -> Dict:
         if batcher is not None:
             outs = batcher.submit_prep(*windows)  # future (cross-request)
         elif packed_mode:
-            d = _use_delta(windows[0], target, chunk)
+            # motion proxy over the VALID prefix only: _pad_window
+            # repeats the last frame, and those zero deltas would dilute
+            # the proxy — a short high-motion run padded into the full
+            # bucket could slip under the threshold and ship noise-like
+            # deltas (the measured lose case, ~136 vs 108 ms)
+            d = _use_delta(windows[0][:valid + 1], target, chunk)
             fn = _compiled_prep_packed(target, d)
             packed = _pack_prep_window(*windows, delta=d)
             # future of a device array: the tunnel put runs on the

@@ -178,9 +178,7 @@ def test_fit_temperature_recovers_overconfidence():
     known miscalibration scale: labels drawn from sigmoid(z) but logits
     reported as 3z should fit T ~= 3; already-calibrated logits fit
     T ~= 1."""
-    import sys
-    sys.path.insert(0, "tools")
-    from eval_detector import fit_temperature
+    from tools.eval_detector import fit_temperature
 
     rng = np.random.default_rng(0)
     z = rng.normal(0.0, 2.0, 20000)

@@ -80,15 +80,23 @@ def test_shipped_checkpoint_quant_accuracy(arch):
     """The int8 path on the shipped trained checkpoints PRESERVES the
     f32 accuracy — the quantization claim is "no accuracy loss", so the
     assertion is relative to the same checkpoint's f32 accuracy on the
-    checkpoint's own training distribution (TRAIN_FAMILIES; the round-3
-    multi-family retrain traded a little single-family accuracy for
-    transfer, so an absolute blobs-only floor no longer describes the
-    shipped weights)."""
+    checkpoint's own training distribution (train_meta.json provenance,
+    written by the round-4 trainer, falling back to TRAIN_FAMILIES; the
+    round-3 multi-family retrain traded a little single-family accuracy
+    for transfer, so an absolute blobs-only floor no longer describes
+    the shipped weights)."""
+    import json
+    import os
+
     from avd_tpu.models import scoring
     from avd_tpu.models.train import TRAIN_FAMILIES
     ckpt = scoring._shipped_ckpt(arch, "small")
     if ckpt is None:
         pytest.skip("no shipped checkpoint")
+    meta_path = os.path.join(ckpt, "train_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            TRAIN_FAMILIES = tuple(json.load(f)["families"])
     from avd_tpu import models
     fam = models.family(arch)
     cfg = fam.make_config("small")

@@ -117,8 +117,35 @@ def test_h2d_delta_auto_picks_by_motion(monkeypatch):
     # tails always raw in auto (warm program set stays small)
     assert video_features._use_delta(static[: chunk // 4 + 1],
                                      chunk // 4 + 1, chunk) is False
-    # forced modes override the proxy
+    # forced modes override the proxy — for FULL windows only; tails
+    # stay raw even when forced (only the full bucket's delta variant
+    # is warmed, so a forced-delta tail would pay a cold Mosaic program
+    # load mid-request)
     monkeypatch.setenv("AVD_H2D_DELTA", "1")
     assert video_features._use_delta(moving, full, chunk) is True
+    assert video_features._use_delta(static[: chunk // 4 + 1],
+                                     chunk // 4 + 1, chunk) is False
     monkeypatch.setenv("AVD_H2D_DELTA", "0")
     assert video_features._use_delta(static, full, chunk) is False
+
+
+def test_h2d_delta_proxy_ignores_padding(monkeypatch):
+    """_pad_window repeats the last frame (zero deltas), so a short
+    high-motion run padded into the full bucket must not slip under the
+    motion threshold — the dispatch path evaluates the proxy on the
+    valid prefix only."""
+    monkeypatch.delenv("AVD_H2D_DELTA", raising=False)
+    chunk = video_features._DEFAULT_CHUNK
+    full = chunk + 1
+    # borderline motion just above the 5-gray-level crossover: frames
+    # alternate base / base+6, so every valid delta is exactly 6
+    n_valid = 3 * chunk // 4 + 1  # shortest run the full bucket pads
+    short = np.full((n_valid, 320, 320), 100, np.uint8)
+    short[1::2] += 6
+    padded = video_features._pad_window(short, full)
+    # padding dilutes the whole-window proxy below the threshold...
+    assert video_features._window_motion(padded) \
+        < video_features._delta_thresh()
+    # ...but the valid prefix is unambiguously above it
+    assert video_features._window_motion(padded[: short.shape[0]]) \
+        > video_features._delta_thresh()

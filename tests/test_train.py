@@ -195,11 +195,11 @@ def test_interpolate_pos_emb_resolution_transfer(tmp_path):
 ])
 def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
                                                      floor):
-    """Every SHIPPED per-frame checkpoint (trained on blobs+geometric)
-    must score better than chance on the held-out 'texture' generator
-    family it never saw — the generalization claim behind the detector
-    slot (full table: tools/eval_detector.py, BASELINE.md).  Floors
-    leave sampling margin below the measured AUCs at these n."""
+    """Every SHIPPED per-frame checkpoint (trained on the TRAIN_FAMILIES
+    curriculum) must score better than chance on the held-out 'texture'
+    generator family it never saw — the generalization claim behind the
+    detector slot (full table: tools/eval_detector.py, BASELINE.md).
+    Floors leave sampling margin below the measured AUCs at these n."""
     import os
 
     from avd_tpu.models import scoring
@@ -208,8 +208,8 @@ def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
     ckpt = scoring._shipped_ckpt(arch, preset)
     if ckpt is None or not os.path.isdir(ckpt):
         pytest.skip(f"no shipped {preset} checkpoint")
-    _, fams, _, _T = eval_checkpoint(arch, preset, ckpt, n=n,
-                                     jpeg_qualities=())
+    _, fams, _, _calib = eval_checkpoint(arch, preset, ckpt, n=n,
+                                         jpeg_qualities=(), h264_crfs=())
     acc, auc, _ece, _ece_t = fams[train.HELDOUT_FAMILY]
     assert auc > floor, (acc, auc)
     # and it actually learned its training families
@@ -246,3 +246,92 @@ def test_train_driver_temporal():
     acc, auc = train_mod.evaluate_sequences(params, cfg, n=16, t=4,
                                             batch=8)
     assert 0.0 <= acc <= 1.0 and 0.0 <= auc <= 1.0
+
+
+def test_frame_cellular_family():
+    """Family D (round 4): deterministic, in-range, and the AI/camera
+    cue separation holds (camera frames carry far more high-frequency
+    energy than posterized+smoothed AI frames)."""
+    rng = np.random.default_rng(5)
+    ai = np.stack([train._frame_cellular(np.random.default_rng(i), 64,
+                                         True) for i in range(8)])
+    cam = np.stack([train._frame_cellular(np.random.default_rng(i), 64,
+                                          False) for i in range(8)])
+    assert ai.shape == cam.shape == (8, 64, 64, 3)
+    again = train._frame_cellular(np.random.default_rng(3), 64, True)
+    np.testing.assert_array_equal(ai[3], again)
+
+    def hf_energy(x):
+        return float(np.mean(np.abs(np.diff(x, axis=1)))
+                     + np.mean(np.abs(np.diff(x, axis=2))))
+
+    assert hf_energy(cam) > 1.5 * hf_energy(ai)
+    # and it is wired into the curriculum
+    assert "cellular" in train.GENERATOR_FAMILIES
+    assert "cellular" in train.TRAIN_FAMILIES
+    assert train.HELDOUT_FAMILY == "texture"
+    frames, labels = train.synthetic_batch(rng, 8, 32,
+                                           families=("cellular",))
+    assert frames.shape == (8, 32, 32, 3)
+
+
+def test_logit_l2_regularizer():
+    """loss_fn(logit_l2=c) == loss_fn() + c * mean(z^2) for all three
+    families' losses."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.ViTConfig(image_size=32, patch=16, width=64, depth=1,
+                             heads=2)
+    params = detector.init_params(jax.random.PRNGKey(0), cfg)
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((4, 32, 32, 3), np.float32))
+    labels = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    z = np.asarray(detector.forward(params, frames, cfg))[:, 0]
+    base = float(detector.loss_fn(params, frames, labels, cfg))
+    reg = float(detector.loss_fn(params, frames, labels, cfg,
+                                 logit_l2=0.5))
+    np.testing.assert_allclose(reg - base,
+                               0.5 * np.mean(z.astype(np.float64) ** 2),
+                               rtol=1e-4)
+
+
+def test_augment_pool_codec_selective():
+    """augment_pool_codec touches exactly the selected fraction and
+    leaves the rest bit-identical."""
+    from avd_tpu.ingest import codec
+    if not codec.available():
+        pytest.skip("libav* encoder unavailable")
+    rng = np.random.default_rng(0)
+    frames, _ = train.synthetic_batch(rng, 16, 32,
+                                      families=("blobs", "cellular"))
+    out = train.augment_pool_codec(frames, 0.5, np.random.default_rng(1))
+    assert out.shape == frames.shape
+    changed = np.array([not np.array_equal(out[i], frames[i])
+                        for i in range(16)])
+    assert changed.sum() == 8
+    # severity sanity: changed frames stay close-ish (no corruption)
+    assert float(np.mean((out[changed] - frames[changed]) ** 2)) < 0.05
+    # frac=0 is the identity
+    np.testing.assert_array_equal(
+        train.augment_pool_codec(frames, 0.0, rng), frames)
+
+
+def test_resume_bit_compatible(tmp_path):
+    """SURVEY §5 checkpoint/resume, built: a run killed after k steps
+    and resumed with --resume produces BIT-IDENTICAL final params to an
+    uninterrupted run (per-step derived rng + saved optimizer state)."""
+    import jax
+
+    kw = dict(batch=8, lr=1e-3, image_size=16, width=32, depth=1,
+              heads=2, log_every=0, cache_samples=64, seed=11,
+              families=("blobs",))
+    straight, _ = train.train(steps=6, **kw)
+
+    out = str(tmp_path / "ckpt_resume")
+    train.train(steps=3, out=out, **kw)          # "killed" after 3 steps
+    resumed, _ = train.train(steps=6, out=out, resume=True, **kw)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

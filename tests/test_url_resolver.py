@@ -125,3 +125,110 @@ def test_cors_origin_restriction(monkeypatch):
     finally:
         monkeypatch.delenv("ALLOWED_ORIGINS")
         config_mod.reset_config()
+
+
+# ---------------------------------------------------------------------------
+# The REAL yt-dlp branch (ingest/url.py::_ytdlp_download) via an injected
+# fake module — yt-dlp is not installed in this image, so without
+# injection the branch never executes (reference: api.py:172-210).
+# ---------------------------------------------------------------------------
+
+def _install_fake_ytdlp(monkeypatch, extract):
+    """Install a minimal yt_dlp into sys.modules; returns the dict where
+    the fake captures the opts/url it was driven with."""
+    import sys
+    import types
+
+    captured = {}
+    mod = types.ModuleType("yt_dlp")
+    utils = types.ModuleType("yt_dlp.utils")
+
+    class DownloadError(Exception):
+        pass
+
+    utils.DownloadError = DownloadError
+    mod.utils = utils
+
+    class YoutubeDL:
+        def __init__(self, opts):
+            captured["opts"] = opts
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def extract_info(self, url, download=True):
+            captured["url"] = url
+            captured["download"] = download
+            return extract(url)
+
+    mod.YoutubeDL = YoutubeDL
+    monkeypatch.setitem(sys.modules, "yt_dlp", mod)
+    monkeypatch.setitem(sys.modules, "yt_dlp.utils", utils)
+    return captured, DownloadError
+
+
+def test_ytdlp_download_success_and_opts(monkeypatch):
+    """The download path builds the reference's yt-dlp options
+    (api.py:178-191): outtmpl to a temp .mp4, max_filesize from the
+    caller, the RESOLVER_UA user agent, best A/V format — and returns
+    the resolved URL from extract_info."""
+    monkeypatch.setenv("RESOLVER_UA", "avd-test-agent/1.0")
+    config_mod.reset_config()
+    captured, _ = _install_fake_ytdlp(
+        monkeypatch, lambda url: {"url": "https://cdn.example/v.mp4",
+                                  "webpage_url": url})
+    out = url_mod.resolve("https://video.example/watch?v=1", 12_345)
+    try:
+        assert out["resolved_url"] == "https://cdn.example/v.mp4"
+        assert captured["download"] is True
+        opts = captured["opts"]
+        assert opts["outtmpl"] == out["path"]
+        assert out["path"].endswith(".mp4")
+        assert opts["max_filesize"] == 12_345
+        assert opts["user_agent"] == "avd-test-agent/1.0"
+        assert opts["http_headers"]["User-Agent"] == "avd-test-agent/1.0"
+        assert opts["format"] == "bv*+ba/best"
+        assert opts["noplaylist"] is True
+    finally:
+        os.unlink(out["path"])
+        config_mod.reset_config()
+
+
+@pytest.mark.parametrize("msg,status,error_it", [
+    ("This video requires login to view", 415,
+     "Contenuto protetto da login / cookies"),
+    ("ERROR: Unsupported URL: https://x", 415, "URL non supportato"),
+    ("File is larger than max-filesize / too large", 413,
+     "File troppo grande dal provider"),
+    ("HTTP Error 429: rate limited", 415, "Errore di download"),
+])
+def test_ytdlp_download_error_mapping(monkeypatch, msg, status, error_it):
+    """DownloadError strings map to the reference's 415/413 Italian
+    hints (api.py:196-206), and the temp file is cleaned up."""
+    def raise_dl(url):
+        raise DownloadError(msg)
+
+    captured, DownloadError = _install_fake_ytdlp(monkeypatch, raise_dl)
+    with pytest.raises(HTTPError) as ei:
+        url_mod.resolve("https://video.example/x", 999)
+    assert ei.value.status == status
+    assert ei.value.detail["error"] == error_it
+    if status == 413:
+        assert ei.value.detail["limit_bytes"] == 999
+    assert not os.path.exists(captured["opts"]["outtmpl"])
+
+
+def test_ytdlp_unexpected_exception_maps_to_415(monkeypatch):
+    def boom(url):
+        raise RuntimeError("socket reset")
+
+    captured, _ = _install_fake_ytdlp(monkeypatch, boom)
+    with pytest.raises(HTTPError) as ei:
+        url_mod.resolve("https://video.example/x", 999)
+    assert ei.value.status == 415
+    assert ei.value.detail["error"] == "Impossibile scaricare il video"
+    assert "socket reset" in ei.value.detail["exception"]
+    assert not os.path.exists(captured["opts"]["outtmpl"])

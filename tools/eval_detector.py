@@ -5,17 +5,21 @@ Produces the BASELINE.md table for each shipped checkpoint:
 * per-generator-family held-out accuracy + AUC — including the family
   the checkpoint was NOT trained on (``texture``, models/train.py's
   HELDOUT_FAMILY), i.e. transfer to an unseen procedural generator;
-* a JPEG-quality robustness sweep (q in 95/75/50/30).  H.264 CRF is the
-  natural sweep for video, but this image ships no encoder (no ffmpeg,
-  cv2 built without codecs — BASELINE.md environment constraints), so
-  JPEG quantization stands in as the closest available compression
-  artifact model (same DCT-quantization family as intra-coded H.264);
+* REAL codec robustness sweeps: H.264 (libx264) CRF in 18/28/35/45
+  through ingest/codec.py — temporally-correlated blocking/ringing/
+  motion-compensation artifacts via the in-image libavcodec encoders
+  (round 4; the round-3 JPEG proxy rested on the false premise that
+  this image ships no video encoder).  The JPEG-quality sweep is kept
+  for cross-round comparability.  The temporal family gets the codec
+  sweep on whole sequences (the natural form — each clip is one real
+  encode), where JPEG never applied;
 * ECE (expected calibration error, 15 equal-width bins over the
   predicted AI probability: sum_b |mean p_b - frac positives_b| * n_b/N),
   raw AND after temperature scaling (a scalar T fitted by NLL on a
   calibration draw from the TRAINING families only — Guo et al. 2017;
-  `--write-calibration` persists T to <ckpt>/calibration.json, which
-  models/scoring.py serves by dividing logits by T before the sigmoid).
+  `--write-calibration` persists T plus the full fit provenance to
+  <ckpt>/calibration.json, which models/scoring.py serves by dividing
+  logits by T before the sigmoid).
 
 Usage:
   python tools/eval_detector.py [--arch vit|cnn|temporal]
@@ -109,20 +113,40 @@ def _jpeg_roundtrip(frames: np.ndarray, quality: int) -> np.ndarray:
     return out
 
 
+def _codec_transform(crf: int, codec: str = "libx264", seed: int = 0):
+    """Per-frame transform: real video-codec round-trip at the given CRF
+    (P-frame artifacts via ingest/codec.py's jittered mini-GOPs)."""
+    from avd_tpu.ingest import codec as codec_mod
+
+    def tf(frames: np.ndarray) -> np.ndarray:
+        return codec_mod.roundtrip_frames(
+            frames, codec=codec, crf=crf,
+            rng=np.random.default_rng(seed))
+    return tf
+
+
+def _codec_available() -> bool:
+    from avd_tpu.ingest import codec as codec_mod
+    return codec_mod.available()
+
+
 def eval_checkpoint(arch: str = "vit", preset: str = "small",
                     ckpt: str | None = None, n: int = 512,
                     batch: int = 64, seed: int = 999,
-                    jpeg_qualities=(95, 75, 50, 30)):
+                    jpeg_qualities=(95, 75, 50, 30),
+                    h264_crfs=(18, 28, 35, 45)):
     """Returns (label, {family: (acc, auc, ece, ece_at_T)},
-    {quality: (acc, auc)}, T) for the given checkpoint (default: the
-    shipped one for (arch, preset))."""
+    {sweep_name: {level: (acc, auc)}}, calib) for the given checkpoint
+    (default: the shipped one for (arch, preset)).  ``calib`` is the
+    dict --write-calibration persists: fitted temperature + the FULL
+    provenance of the fit draws."""
     import jax
     import jax.numpy as jnp
 
     from avd_tpu import models
     from avd_tpu.models import scoring, temporal
-    from avd_tpu.models.train import (GENERATOR_FAMILIES, _acc_auc,
-                                      synthetic_batch)
+    from avd_tpu.models.train import (GENERATOR_FAMILIES, TRAIN_FAMILIES,
+                                      _acc_auc, synthetic_batch)
 
     fam_mod = models.family(arch)
     cfg = fam_mod.make_config(preset)
@@ -131,28 +155,47 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
     if ckpt:
         params = fam_mod.load_checkpoint(ckpt, params)
     label = ckpt or "random_init"
+    have_codec = _codec_available()
 
     if arch == "temporal":
+        from avd_tpu.ingest import codec as codec_mod
+
         @jax.jit
         def logits_fn(p, fb):
             return temporal.forward(p, fb, cfg)[..., 0] \
                 .astype(jnp.float32)
 
-        def run(families, rng_seed=seed):
+        def run(families, transform=None, rng_seed=seed):
             rng = np.random.default_rng(rng_seed)
             zs, ys = [], []
             for _ in range(max(1, n // (batch * 8))):
                 frames, labels = temporal.synthetic_sequences(
                     rng, batch // 4, 8, cfg.image_size,
                     families=families)
+                if transform is not None:
+                    frames = transform(frames)
                 zs.append(np.asarray(logits_fn(
                     params, jnp.asarray(frames))).ravel())
                 ys.append(labels.ravel())
             return np.concatenate(zs), np.concatenate(ys)
 
-        from avd_tpu.models.train import TRAIN_FAMILIES
+        # calibration draw: clean + codec-compressed sequences from the
+        # TRAINING families (disjoint seeds; the unseen family stays
+        # unseen) — compressed draws carry the signal on a perfectly
+        # separated clean curriculum (see fit_temperature)
         zc, yc = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 1)
+        draws = [{"kind": "clean", "seed": seed + 1}]
+        if have_codec:
+            zx, yx = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 2,
+                         transform=lambda f: codec_mod.roundtrip_sequences(
+                             f, codec="libx264", crf=28))
+            zc, yc = np.concatenate([zc, zx]), np.concatenate([yc, yx])
+            draws.append({"kind": "h264-crf28", "seed": seed + 2})
         T = fit_temperature(zc, yc)
+        calib = {"temperature": T,
+                 "fit": {"families": list(TRAIN_FAMILIES), "n": n,
+                         "draws": draws, "codec_available": have_codec}}
+
         per_family = {}
         for fam in GENERATOR_FAMILIES:
             z, y = run((fam,))
@@ -160,7 +203,18 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
             acc, auc = _acc_auc(p, y)
             pT = _sigmoid(z / T)
             per_family[fam] = (acc, auc, _ece(p, y), _ece(pT, y))
-        return label, per_family, {}, T  # sequence JPEG sweep omitted
+
+        sweeps = {}
+        if have_codec and h264_crfs:
+            tbl = {}
+            for crf in h264_crfs:
+                z, y = run(tuple(GENERATOR_FAMILIES),
+                           transform=lambda f, crf=crf:
+                           codec_mod.roundtrip_sequences(
+                               f, codec="libx264", crf=crf))
+                tbl[crf] = _acc_auc(_sigmoid(z), y)
+            sweeps["h264 CRF"] = tbl
+        return label, per_family, sweeps, calib
 
     @jax.jit
     def logits_fn(p, fb):
@@ -179,21 +233,34 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
         return np.concatenate(zs), np.concatenate(ys)
 
     # temperature fitted on a calibration draw from the TRAINING
-    # families only (disjoint seed) — the unseen family stays unseen.
-    # Half the draw goes through a JPEG-q50 round trip: on the clean
+    # families only (disjoint seeds) — the unseen family stays unseen.
+    # Half the draw goes through a compression round-trip: on the clean
     # curriculum these models are perfectly separated (degenerate NLL,
     # see fit_temperature), so deployment-like compressed frames are
-    # what carries the calibration signal.
-    from avd_tpu.models.train import TRAIN_FAMILIES
+    # what carries the calibration signal.  Real H.264 CRF-28 when the
+    # encoder is available, JPEG-q50 as the fallback — and the exact
+    # draws are recorded in the provenance (a silently skipped
+    # compressed draw changes T materially).
     zc, yc = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 1)
-    try:
-        import cv2  # noqa: F401
-        zj, yj = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 2,
-                     transform=lambda f: _jpeg_roundtrip(f, 50))
-        zc, yc = np.concatenate([zc, zj]), np.concatenate([yc, yj])
-    except ImportError:
-        pass
+    draws = [{"kind": "clean", "seed": seed + 1}]
+    if have_codec:
+        zx, yx = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 2,
+                     transform=_codec_transform(28, seed=seed + 2))
+        zc, yc = np.concatenate([zc, zx]), np.concatenate([yc, yx])
+        draws.append({"kind": "h264-crf28", "seed": seed + 2})
+    else:
+        try:
+            import cv2  # noqa: F401
+            zj, yj = run(tuple(TRAIN_FAMILIES), rng_seed=seed + 2,
+                         transform=lambda f: _jpeg_roundtrip(f, 50))
+            zc, yc = np.concatenate([zc, zj]), np.concatenate([yc, yj])
+            draws.append({"kind": "jpeg-q50", "seed": seed + 2})
+        except ImportError:
+            pass
     T = fit_temperature(zc, yc)
+    calib = {"temperature": T,
+             "fit": {"families": list(TRAIN_FAMILIES), "n": n,
+                     "draws": draws, "codec_available": have_codec}}
 
     per_family = {}
     for fam in GENERATOR_FAMILIES:
@@ -203,17 +270,26 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
         pT = _sigmoid(z / T)
         per_family[fam] = (acc, auc, _ece(p, y), _ece(pT, y))
 
-    sweep = {}
-    try:
-        import cv2  # noqa: F401
-        for q in jpeg_qualities:
+    sweeps = {}
+    if have_codec and h264_crfs:
+        tbl = {}
+        for crf in h264_crfs:
             z, y = run(tuple(GENERATOR_FAMILIES),
-                       transform=lambda f, q=q: _jpeg_roundtrip(f, q))
-            p = _sigmoid(z)
-            sweep[q] = _acc_auc(p, y)
-    except ImportError:
-        pass
-    return label, per_family, sweep, T
+                       transform=_codec_transform(crf, seed=seed + 3))
+            tbl[crf] = _acc_auc(_sigmoid(z), y)
+        sweeps["h264 CRF"] = tbl
+    if jpeg_qualities:
+        try:
+            import cv2  # noqa: F401
+            tbl = {}
+            for q in jpeg_qualities:
+                z, y = run(tuple(GENERATOR_FAMILIES),
+                           transform=lambda f, q=q: _jpeg_roundtrip(f, q))
+                tbl[q] = _acc_auc(_sigmoid(z), y)
+            sweeps["JPEG q"] = tbl
+        except ImportError:
+            pass
+    return label, per_family, sweeps, calib
 
 
 def main() -> int:
@@ -227,8 +303,8 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (leave the TPU to another job)")
     ap.add_argument("--write-calibration", action="store_true",
-                    help="write the fitted temperature to "
-                         "<ckpt>/calibration.json (served via "
+                    help="write the fitted temperature + fit provenance "
+                         "to <ckpt>/calibration.json (served via "
                          "models/scoring.py)")
     args = ap.parse_args()
     if args.cpu:
@@ -236,9 +312,10 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from avd_tpu.models.train import HELDOUT_FAMILY, TRAIN_FAMILIES
-    label, fams, sweep, T = eval_checkpoint(args.arch, args.preset,
-                                            args.ckpt, n=args.n,
-                                            seed=args.seed)
+    label, fams, sweeps, calib = eval_checkpoint(args.arch, args.preset,
+                                                 args.ckpt, n=args.n,
+                                                 seed=args.seed)
+    T = calib["temperature"]
     print(f"checkpoint: {label}")
     print(f"(training families: {'+'.join(TRAIN_FAMILIES)}; "
           f"unseen: {HELDOUT_FAMILY}; fitted temperature T={T:.3f})")
@@ -248,11 +325,11 @@ def main() -> int:
         tag = " (unseen)" if fam == HELDOUT_FAMILY else ""
         print(f"| {fam}{tag} | {acc:.3f} | {auc:.3f} | {ece:.3f} "
               f"| {ece_t:.3f} |")
-    if sweep:
-        print("| JPEG q | acc | AUC |")
+    for name, tbl in sweeps.items():
+        print(f"| {name} | acc | AUC |")
         print("|---|---|---|")
-        for q, (acc, auc) in sweep.items():
-            print(f"| {q} | {acc:.3f} | {auc:.3f} |")
+        for level, (acc, auc) in tbl.items():
+            print(f"| {level} | {acc:.3f} | {auc:.3f} |")
     if args.write_calibration:
         import json
         ckpt_dir = label if os.path.isdir(str(label)) else None
@@ -261,10 +338,9 @@ def main() -> int:
                   file=sys.stderr)
             return 1
         path = os.path.join(ckpt_dir, "calibration.json")
+        calib["fit"]["seed"] = args.seed
         with open(path, "w") as f:
-            json.dump({"temperature": T,
-                       "fit": {"families": list(TRAIN_FAMILIES),
-                               "n": args.n, "seed": args.seed + 1}}, f)
+            json.dump(calib, f)
         print(f"wrote {path}")
     return 0
 

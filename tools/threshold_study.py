@@ -1,0 +1,123 @@
+"""Threshold-transfer study (VERDICT round-3 #3).
+
+The round-3 flagship ranked an unseen generator family almost perfectly
+(AUC 0.981) but classified it at chance-ish accuracy (0.592): BCE on
+separable training families pushes margins to saturation, and an unseen
+family's logits land clustered mid-scale where the fixed 0.5 threshold
+cuts them in half.  Two train-side levers attack that:
+
+* **family diversity** — round 4 adds the ``cellular`` generator
+  (models/train.py), so training sees three distinct artifact
+  parameterizations of the smooth-vs-noisy meta-cue;
+* **codec augmentation + logit-scale regularization** — real
+  H.264/H.265/MPEG-4 round-trips on half the pool (``--aug-codec``)
+  plus ``--logit-l2`` (mean z^2), which bounds training-family margins
+  so OOD scores separate at 0.5 instead of saturating past it.
+
+This driver trains the detector_small-scale grid and reports, per
+variant: unseen-family (texture) accuracy/AUC, per-class unseen logit
+stats, and seen-family accuracy — the evidence for picking the flagship
+recipe.  Results land in BASELINE.md (round 4).
+
+Usage: python tools/threshold_study.py [--steps 2000] [--n 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = (
+    # name, aug_codec, logit_l2
+    ("baseline", 0.0, 0.0),
+    ("aug", 0.5, 0.0),
+    ("aug+l2-5e-3", 0.5, 5e-3),
+    ("aug+l2-2e-2", 0.5, 2e-2),
+)
+
+
+def unseen_stats(params, cfg, n: int, seed: int = 999):
+    """(acc, auc, logit mean/std per class) on the held-out family."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.models import detector
+    from avd_tpu.models.train import HELDOUT_FAMILY, _acc_auc, \
+        synthetic_batch
+
+    @jax.jit
+    def logits_fn(p, fb):
+        return detector.forward(p, fb, cfg)[:, 0].astype(jnp.float32)
+
+    rng = np.random.default_rng(seed)
+    zs, ys = [], []
+    for _ in range(max(1, n // 64)):
+        frames, labels = synthetic_batch(rng, 64, cfg.image_size,
+                                         (HELDOUT_FAMILY,))
+        zs.append(np.asarray(logits_fn(params, jnp.asarray(frames))))
+        ys.append(labels)
+    z, y = np.concatenate(zs), np.concatenate(ys)
+    acc, auc = _acc_auc(1.0 / (1.0 + np.exp(-z)), y)
+    return acc, auc, {
+        "cam_logit": (float(z[y == 0].mean()), float(z[y == 0].std())),
+        "ai_logit": (float(z[y == 1].mean()), float(z[y == 1].std())),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="JSON results file (default: stdout only)")
+    args = ap.parse_args()
+
+    from avd_tpu.models import detector
+    from avd_tpu.models import train as train_mod
+
+    cfg = detector.make_config("full", image_size=64)  # small preset
+    results = []
+    for name, aug, l2 in VARIANTS:
+        t0 = time.time()
+        params, losses = train_mod.train(
+            steps=args.steps, batch=args.batch, lr=3e-4,
+            image_size=64, log_every=200, seed=args.seed,
+            families=train_mod.TRAIN_FAMILIES,
+            aug_codec=aug, logit_l2=l2)
+        seen_acc, seen_auc = train_mod.evaluate(
+            params, cfg, n=256, families=train_mod.TRAIN_FAMILIES)
+        acc, auc, zstats = unseen_stats(params, cfg, args.n)
+        row = {"variant": name, "aug_codec": aug, "logit_l2": l2,
+               "unseen_acc": acc, "unseen_auc": auc,
+               "seen_acc": seen_acc, "seen_auc": seen_auc,
+               "unseen_logits": zstats, "final_loss": losses[-1],
+               "train_s": time.time() - t0}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| variant | unseen acc | unseen AUC | seen acc | "
+          "cam z | ai z |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        cz, az = r["unseen_logits"]["cam_logit"], \
+            r["unseen_logits"]["ai_logit"]
+        print(f"| {r['variant']} | {r['unseen_acc']:.3f} "
+              f"| {r['unseen_auc']:.3f} | {r['seen_acc']:.3f} "
+              f"| {cz[0]:+.2f}±{cz[1]:.2f} | {az[0]:+.2f}±{az[1]:.2f} |")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
