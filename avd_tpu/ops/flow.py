@@ -258,6 +258,10 @@ def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray,
     from channels-first polynomial fields and flow planes."""
     H, W = R0.shape[2:4]
     R1w, inb = _warp_poly(R1, flow)
+    # bf16 field storage (AVD_FLOW_BF16) upcasts here; the converts fuse
+    # into the elementwise graph, so the stored array stays half-width
+    R0 = R0.astype(jnp.float32)
+    R1w = R1w.astype(jnp.float32)
 
     # averaged quadratic coefficients; cross term carries an extra 1/2
     # because the stored channel is the full cross coefficient.
@@ -313,6 +317,18 @@ def _pallas_solve_enabled() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def _flow_bf16() -> bool:
+    """Store the polynomial fields R0/R1 and the normal-equation field M
+    in bfloat16 (AVD_FLOW_BF16=1, default off).  Halves the flow stage's
+    dominant HBM traffic + VMEM input buffers; every accumulation stays
+    f32 inside the kernels.  Numerics bounded by tools/bf16_study.py
+    (≤0.026 worst-case |flow| stat delta, zero scene-change-bit flips —
+    inside the 1e-3 post-aggregation ai_score budget)."""
+    import os
+    return os.getenv("AVD_FLOW_BF16", "0") == "1"
+
+
+@functools.lru_cache(maxsize=1)
 def _pallas_iter_enabled() -> bool:
     """Whole-iteration fusion (warp+update+blur+solve in ONE Pallas
     kernel, ops/pallas/flow_iter.py).  OFF by default: the fused kernel
@@ -335,7 +351,8 @@ def _blur_solve(M: jnp.ndarray, winsize: int) -> jnp.ndarray:
             and H >= 40 and H % 40 == 0 and W >= 40):
         from avd_tpu.ops.pallas import blur_solve
         return blur_solve.box_blur_solve(M, winsize)
-    return _solve_flow(_box_blur_mean(M, winsize))
+    # XLA fallback blurs in f32 regardless of M's storage dtype
+    return _solve_flow(_box_blur_mean(M.astype(jnp.float32), winsize))
 
 
 def _solve_flow(mblur: jnp.ndarray) -> jnp.ndarray:
@@ -426,8 +443,18 @@ def farneback_flow(prev: jnp.ndarray, cur: jnp.ndarray,
                 return flow_iter.solve_iteration_prepared(
                     r0p, r1p, f, width=lw, winsize=winsize)
         else:
+            if _flow_bf16():
+                # half-width storage of the dominant per-iteration HBM
+                # traffic: R0/R1 reads (warp + update) and the M
+                # write/read (update → blur_solve); all compute f32
+                R0 = R0.astype(jnp.bfloat16)
+                R1 = R1.astype(jnp.bfloat16)
+
             def step(f):
-                return _blur_solve(_update_matrices(R0, R1, f), winsize)
+                M = _update_matrices(R0, R1, f)
+                if _flow_bf16():
+                    M = M.astype(jnp.bfloat16)
+                return _blur_solve(M, winsize)
 
         flow = step(flow)
         if iterations > 1:

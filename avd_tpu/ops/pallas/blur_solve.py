@@ -83,7 +83,10 @@ def _kernel(mpad_ref, out_ref, *, bh: int, w_valid: int, winsize: int):
     i = pl.program_id(1)
     r0 = i * bh  # buf rows [r0, r0 + bh + 2*_PAD8); 8-aligned by bh % 8 == 0
     rows = bh + 2 * _PAD8
-    planes = [mpad_ref[0, c, pl.ds(r0, rows), :] for c in range(_C)]
+    # bf16 M storage (AVD_FLOW_BF16) halves the HBM read + VMEM input
+    # buffer; the blur/solve always accumulates in f32.
+    planes = [mpad_ref[0, c, pl.ds(r0, rows), :].astype(jnp.float32)
+              for c in range(_C)]
     u, v = blur_solve_rows(planes, bh, w_valid, winsize)
     out_ref[0, 0] = u
     out_ref[0, 1] = v

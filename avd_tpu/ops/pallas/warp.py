@@ -121,8 +121,11 @@ def _warp_kernel(flow_ref, src_ref, out_ref, rows_ref, acc_ref, *,
             wgt = wy * wx
             hshift = (-dx) % wp
             for c in range(_C):
+                # bf16 src (AVD_FLOW_BF16) upcasts at the accumulate;
+                # the weighted sum always runs in f32
                 acc_ref[c] += wgt * pltpu.roll(
-                    rows_ref[pl.ds(c * nbuf, bh), :], hshift, 1)
+                    rows_ref[pl.ds(c * nbuf, bh), :], hshift,
+                    1).astype(jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, nx, body_dx, 0)
@@ -179,7 +182,9 @@ def warp_bilinear(src: jnp.ndarray, flow: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, _C, h, w_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_C * (bh + 8), w_pad), jnp.float32),
+            # row windows stay in the src storage dtype (bf16 halves the
+            # buffer under AVD_FLOW_BF16); the accumulator is always f32
+            pltpu.VMEM((_C * (bh + 8), w_pad), src.dtype),
             pltpu.VMEM((_C, bh, w_pad), jnp.float32),
         ],
         interpret=interpret,

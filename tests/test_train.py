@@ -208,8 +208,9 @@ def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
     ckpt = scoring._shipped_ckpt(arch, preset)
     if ckpt is None or not os.path.isdir(ckpt):
         pytest.skip(f"no shipped {preset} checkpoint")
-    _, fams, _, _calib = eval_checkpoint(arch, preset, ckpt, n=n,
-                                         jpeg_qualities=(), h264_crfs=())
+    _, fams, _, _calib, _ = eval_checkpoint(arch, preset, ckpt, n=n,
+                                            jpeg_qualities=(),
+                                            h264_crfs=())
     acc, auc, _ece, _ece_t = fams[train.HELDOUT_FAMILY]
     assert auc > floor, (acc, auc)
     # and it actually learned its training families

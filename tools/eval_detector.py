@@ -136,7 +136,7 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
                     jpeg_qualities=(95, 75, 50, 30),
                     h264_crfs=(18, 28, 35, 45)):
     """Returns (label, {family: (acc, auc, ece, ece_at_T)},
-    {sweep_name: {level: (acc, auc)}}, calib) for the given checkpoint
+    {sweep_name: {level: (acc, auc)}}, calib, extras) for the given checkpoint
     (default: the shipped one for (arch, preset)).  ``calib`` is the
     dict --write-calibration persists: fitted temperature + the FULL
     provenance of the fit draws."""
@@ -145,8 +145,9 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
 
     from avd_tpu import models
     from avd_tpu.models import scoring, temporal
-    from avd_tpu.models.train import (GENERATOR_FAMILIES, TRAIN_FAMILIES,
-                                      _acc_auc, synthetic_batch)
+    from avd_tpu.models.train import (GENERATOR_FAMILIES, HELDOUT_FAMILY,
+                                      TRAIN_FAMILIES, _acc_auc,
+                                      synthetic_batch)
 
     fam_mod = models.family(arch)
     cfg = fam_mod.make_config(preset)
@@ -214,7 +215,35 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
                                f, codec="libx264", crf=crf))
                 tbl[crf] = _acc_auc(_sigmoid(z), y)
             sweeps["h264 CRF"] = tbl
-        return label, per_family, sweeps, calib
+
+        # splice localization (VERDICT r3 #2): on clips with a genuine
+        # partial AI span, how well do the per-frame scores recover the
+        # span?  per-frame accuracy + span IoU, seen vs unseen family.
+        loc = {}
+        for key, fams in (("seen", tuple(TRAIN_FAMILIES)),
+                          ("unseen", (HELDOUT_FAMILY,))):
+            rng = np.random.default_rng(seed + 7)
+            accs, ious = [], []
+            got = 0
+            while got < max(64, n // 8):
+                frames, labels = temporal.synthetic_sequences(
+                    rng, 16, 8, cfg.image_size, families=fams)
+                part = ((labels.sum(1) > 0)
+                        & (labels.sum(1) < labels.shape[1]))
+                if not part.any():
+                    continue
+                z = np.asarray(logits_fn(
+                    params, jnp.asarray(frames[part])))
+                pred = _sigmoid(z) > 0.5
+                lab = labels[part].astype(bool)
+                accs.append((pred == lab).mean(axis=1))
+                inter = (pred & lab).sum(1).astype(np.float64)
+                union = (pred | lab).sum(1).astype(np.float64)
+                ious.append(inter / np.maximum(union, 1.0))
+                got += int(part.sum())
+            loc[key] = (float(np.concatenate(accs).mean()),
+                        float(np.concatenate(ious).mean()))
+        return label, per_family, sweeps, calib, {"splice_loc": loc}
 
     @jax.jit
     def logits_fn(p, fb):
@@ -289,7 +318,7 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
             sweeps["JPEG q"] = tbl
         except ImportError:
             pass
-    return label, per_family, sweeps, calib
+    return label, per_family, sweeps, calib, {}
 
 
 def main() -> int:
@@ -312,9 +341,8 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from avd_tpu.models.train import HELDOUT_FAMILY, TRAIN_FAMILIES
-    label, fams, sweeps, calib = eval_checkpoint(args.arch, args.preset,
-                                                 args.ckpt, n=args.n,
-                                                 seed=args.seed)
+    label, fams, sweeps, calib, extras = eval_checkpoint(
+        args.arch, args.preset, args.ckpt, n=args.n, seed=args.seed)
     T = calib["temperature"]
     print(f"checkpoint: {label}")
     print(f"(training families: {'+'.join(TRAIN_FAMILIES)}; "
@@ -330,6 +358,11 @@ def main() -> int:
         print("|---|---|---|")
         for level, (acc, auc) in tbl.items():
             print(f"| {level} | {acc:.3f} | {auc:.3f} |")
+    if "splice_loc" in extras:
+        print("| splice localization | per-frame acc | span IoU |")
+        print("|---|---|---|")
+        for key, (acc, iou) in extras["splice_loc"].items():
+            print(f"| {key} | {acc:.3f} | {iou:.3f} |")
     if args.write_calibration:
         import json
         ckpt_dir = label if os.path.isdir(str(label)) else None

@@ -35,11 +35,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = (
-    # name, aug_codec, logit_l2
-    ("baseline", 0.0, 0.0),
-    ("aug", 0.5, 0.0),
-    ("aug+l2-5e-3", 0.5, 5e-3),
-    ("aug+l2-2e-2", 0.5, 2e-2),
+    # name, families (None = TRAIN_FAMILIES), steps_mult, aug_codec, logit_l2
+    ("baseline", None, 1, 0.0, 0.0),
+    ("aug", None, 1, 0.5, 0.0),
+    ("aug+l2-5e-3", None, 1, 0.5, 5e-3),
+    ("aug+l2-2e-2", None, 1, 0.5, 2e-2),
+)
+
+# Pass 2 (after pass 1 measured unseen AUC ~0.41 for EVERY 3-family
+# variant at 2000 steps, vs the shipped 2-family ckpt's 0.75 on the same
+# eval): a 2-family control on today's code, and longer 3-family runs —
+# is the collapse undertraining (seen acc fell 0.98 -> 0.81 too) or the
+# cellular family actively conflicting?
+VARIANTS_P2 = (
+    ("ctrl-2fam", ("blobs", "geometric"), 1, 0.0, 0.0),
+    ("3fam-3x", None, 3, 0.0, 0.0),
+    ("3fam-3x-aug", None, 3, 0.5, 0.0),
+    ("2fam-aug+l2", ("blobs", "geometric"), 1, 0.5, 5e-3),
 )
 
 
@@ -79,24 +91,30 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
                     help="JSON results file (default: stdout only)")
+    ap.add_argument("--pass2", action="store_true",
+                    help="run the VARIANTS_P2 grid (2-family control + "
+                         "longer 3-family runs)")
     args = ap.parse_args()
 
     from avd_tpu.models import detector
     from avd_tpu.models import train as train_mod
 
-    cfg = detector.make_config("full", image_size=64)  # small preset
+    cfg = detector.make_config("small")  # matches train()'s defaults
     results = []
-    for name, aug, l2 in VARIANTS:
+    variants = VARIANTS_P2 if args.pass2 else VARIANTS
+    for name, fams, mult, aug, l2 in variants:
+        fams = tuple(fams or train_mod.TRAIN_FAMILIES)
         t0 = time.time()
         params, losses = train_mod.train(
-            steps=args.steps, batch=args.batch, lr=3e-4,
+            steps=args.steps * mult, batch=args.batch, lr=3e-4,
             image_size=64, log_every=200, seed=args.seed,
-            families=train_mod.TRAIN_FAMILIES,
-            aug_codec=aug, logit_l2=l2)
+            families=fams, aug_codec=aug, logit_l2=l2)
         seen_acc, seen_auc = train_mod.evaluate(
-            params, cfg, n=256, families=train_mod.TRAIN_FAMILIES)
+            params, cfg, n=256, families=fams)
         acc, auc, zstats = unseen_stats(params, cfg, args.n)
-        row = {"variant": name, "aug_codec": aug, "logit_l2": l2,
+        row = {"variant": name, "families": list(fams),
+               "steps": args.steps * mult,
+               "aug_codec": aug, "logit_l2": l2,
                "unseen_acc": acc, "unseen_auc": auc,
                "seen_acc": seen_acc, "seen_auc": seen_auc,
                "unseen_logits": zstats, "final_loss": losses[-1],
