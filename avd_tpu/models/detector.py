@@ -41,6 +41,12 @@ class ViTConfig:
     mlp_ratio: int = 4
     n_classes: int = 1          # binary: AI-generated?
     dropout: float = 0.0        # inference default
+    # Fused Pallas attention (ops/pallas/attention.py): scores stay
+    # VMEM-resident instead of materializing [B, H, T, T] in HBM.
+    # Inference-only (no VJP) and single-device/replicated programs only
+    # — the sharded/TP paths keep the einsums.  Serving opts in via
+    # AVD_ATTN_FUSED=1 (models/scoring.py).
+    fused_attn: bool = False
     # Mixture-of-experts MLP (0 = dense).  Experts shard over the mesh's
     # 'model' axis (expert parallelism); Switch-style top-1 routing with
     # per-example token groups and capacity dropping.
@@ -349,12 +355,16 @@ def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     b, t, _ = qkv.shape
     qkv = qkv.reshape(b, t, 3, cfg.heads, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    att = jnp.einsum("bthd,bshd->bhts", q, k,
-                     preferred_element_type=jnp.float32)
-    att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
-    o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
-                   preferred_element_type=jnp.float32)
-    o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
+    if cfg.fused_attn:
+        from avd_tpu.ops.pallas import attention as pattn
+        o = pattn.attention(q, k, v)                # [b, t, width] bf16
+    else:
+        att = jnp.einsum("bthd,bshd->bhts", q, k,
+                         preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
+                       preferred_element_type=jnp.float32)
+        o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
     o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
         lp["proj_b"].astype(jnp.bfloat16)
     x = x + ap(o, res_spec)

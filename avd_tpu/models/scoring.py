@@ -138,6 +138,19 @@ def _bundle():
     detector = models.family(arch)
     preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset(arch))
     cfg = detector.make_config(preset)
+    if os.getenv("AVD_ATTN_FUSED", "0") == "1":
+        # fused Pallas attention (ops/pallas/attention.py): inference-
+        # only, single-device programs.  ViT family only; the sharded
+        # path below overrides it (GSPMD can't partition a pallas_call).
+        if arch != "vit":
+            raise ValueError(
+                f"AVD_ATTN_FUSED=1 supports the vit family, not {arch!r}")
+        if os.getenv("AVD_DETECTOR_QUANT", "0") == "1":
+            raise ValueError("AVD_ATTN_FUSED=1 and AVD_DETECTOR_QUANT=1 "
+                             "are mutually exclusive (the int8 forward "
+                             "has its own attention)")
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, fused_attn=True)
     params = detector.init_params(jax.random.PRNGKey(0), cfg)
     ckpt = os.getenv("AVD_DETECTOR_CKPT") or _shipped_ckpt(arch, preset)
     source = "random_init"
@@ -193,6 +206,13 @@ def _bundle():
         from jax.sharding import PartitionSpec as P
 
         from avd_tpu.parallel import mesh as mesh_mod
+        if getattr(cfg, "fused_attn", False):
+            import dataclasses as _dc
+            import warnings
+            warnings.warn("AVD_ATTN_FUSED=1 is single-device-only; the "
+                          "sharded detector program keeps the XLA "
+                          "einsum attention", stacklevel=2)
+            cfg = _dc.replace(cfg, fused_attn=False)
         mesh = mesh_mod.make_mesh(None, axes=("data", "model"))
         params = mesh_mod.shard_params(mesh, params,
                                        detector.param_specs(cfg))
