@@ -142,14 +142,24 @@ def _frame_cellular(rng: np.random.Generator, size: int, ai_like: bool):
     """Family D (round 4) — Voronoi cell scenes: flat irregular regions
     with hard boundaries (nearest-seed coloring + gentle shading).
     AI cue = color POSTERIZATION (the banding common to generator
-    decoders) + boundary smoothing; camera cue = directional motion-blur
-    streak + luminance detail + Gaussian noise + rare hot pixels.  Both
-    cue parameterizations are distinct from families A-C (Gaussian/box
-    smoothing, checkerboard upsample; sensor/row-gain/shot noise), so a
-    model must learn the smooth-vs-noisy META-cue, not one family's
-    artifact signature — this is the diversity that attacks the
-    threshold-transfer problem (unseen-family scores clustering at the
-    middle, BASELINE.md round 3)."""
+    decoders) + boundary smoothing; camera cue = luminance detail +
+    Gaussian noise + rare hot pixels.  Both cue parameterizations are
+    distinct from families A-C (Gaussian/box smoothing, checkerboard
+    upsample; sensor/row-gain/shot noise), so a model must learn the
+    smooth-vs-noisy META-cue, not one family's artifact signature —
+    this is the diversity that attacks the threshold-transfer problem
+    (unseen-family scores clustering at the middle, BASELINE.md round 3).
+
+    The first round-4 design gave the camera branch a directional
+    MOTION-BLUR streak (realistic camera shake).  Measured
+    (tools/threshold_study.py pass 1+2): every 3-family variant's
+    unseen-family AUC collapsed to 0.41-0.44 — BELOW chance — even at
+    3x steps, while the 2-family control held 0.69.  Blurred camera
+    frames teach "smooth = camera", the exact inverse of the meta-cue
+    the held-out family (and the deployment prior: generator output is
+    over-smooth) rewards, and the inversion transfers.  The streak is
+    removed; the family keeps its distinct identity via posterization
+    banding vs hot-pixel defects."""
     k = int(rng.integers(4, 10))
     pts = rng.random((k, 2)).astype(np.float32)
     colors = rng.random((k, 3)).astype(np.float32)
@@ -169,12 +179,6 @@ def _frame_cellular(rng: np.random.Generator, size: int, ai_like: bool):
     else:
         detail = rng.random((size, size, 3)).astype(np.float32)
         img = base * (0.85 + 0.15 * detail) + 0.10 * detail
-        # directional motion-blur streak (camera shake), then noise
-        klen = int(rng.integers(2, 5))
-        kern = np.ones(klen, np.float32) / klen
-        ax = int(rng.integers(0, 2))
-        img = np.apply_along_axis(
-            lambda m: np.convolve(m, kern, mode="same"), ax, img)
         img += rng.normal(0, 0.010 + 0.015 * rng.random(),
                           img.shape).astype(np.float32)
         # rare hot pixels (sensor defects)
@@ -293,10 +297,18 @@ def augment_pool_codec(frames: np.ndarray, frac: float,
     bits-per-pixel compression) — so training on pristine procedural
     frames bakes in a clean-data prior that JPEG-quality evals exposed
     (BASELINE.md round 3).  Each selected sample gets a random codec
-    (H.264-weighted) and CRF from the eval sweep; per-frame pools ride
+    (H.264-weighted) and a MODERATE CRF; per-frame pools ride
     ``roundtrip_frames`` (P-frame artifacts), sequence pools
     ``roundtrip_sequences``.  One-time pool cost — the train loop's
-    per-step path is untouched."""
+    per-step path is untouched.
+
+    Training CRFs are capped at 28 (near-transparent → typical web
+    re-encode), NOT the eval sweep's 35/45: at heavy CRF the codec
+    erases the camera frames' sensor-noise cue, and those samples become
+    label noise that teaches "smooth = camera" — measured as a
+    below-chance unseen-family AUC collapse (0.74 → 0.44 at 3x steps,
+    tools/threshold_study.py pass 2) when augmentation drew from the
+    full sweep."""
     from avd_tpu.ingest import codec as codec_mod
     if frac <= 0:
         return frames
@@ -309,8 +321,9 @@ def augment_pool_codec(frames: np.ndarray, frac: float,
     sel = rng.choice(n, n_aug, replace=False)
     codecs = np.asarray(["libx264", "libx264", "libx265", "mpeg4"])
     pick_codec = codecs[rng.integers(0, len(codecs), n_aug)]
-    pick_crf = np.asarray(codec_mod.CRF_SWEEP)[
-        rng.integers(0, len(codec_mod.CRF_SWEEP), n_aug)]
+    train_crfs = (18, 23, 28)
+    pick_crf = np.asarray(train_crfs)[
+        rng.integers(0, len(train_crfs), n_aug)]
     out = frames.copy()
     for cname in np.unique(pick_codec):
         for crf in np.unique(pick_crf):

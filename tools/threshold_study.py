@@ -54,6 +54,31 @@ VARIANTS_P2 = (
     ("2fam-aug+l2", ("blobs", "geometric"), 1, 0.5, 5e-3),
 )
 
+# Pass 3: pass 2 answered "conflict, not undertraining" — every
+# 3-family variant stayed BELOW chance at 3x steps (unseen AUC
+# 0.41-0.44) while the 2-family control held 0.69.  Root cause: the
+# cellular family's camera branch applied a motion-blur streak, teaching
+# "smooth = camera" — the inverse of the meta-cue transfer rewards.
+# This grid re-runs the 3-family recipes on the REVISED cellular family
+# (streak removed, models/train.py::_frame_cellular).
+VARIANTS_P3 = (
+    ("3fam-r", None, 1, 0.0, 0.0),
+    ("3fam-r-aug", None, 1, 0.5, 0.0),
+    ("3fam-r-aug+l2", None, 1, 0.5, 5e-3),
+    ("3fam-r-3x-aug+l2", None, 3, 0.5, 5e-3),
+)
+
+# Pass 4: pass 3 put 3fam-r-3x-aug+l2 on top for rank transfer (unseen
+# AUC 0.897, seen 0.969) but the unseen logit DISTRIBUTION still sits
+# entirely positive (cam +1.34±1.48) — ranking transfers, the 0.5
+# threshold does not.  Isolate the 3x-step contributions and test a
+# stronger margin bound.
+VARIANTS_P4 = (
+    ("3fam-r-3x", None, 3, 0.0, 0.0),
+    ("3fam-r-3x-aug", None, 3, 0.5, 0.0),
+    ("3fam-r-3x-aug+l2-2e-2", None, 3, 0.5, 2e-2),
+)
+
 
 def unseen_stats(params, cfg, n: int, seed: int = 999):
     """(acc, auc, logit mean/std per class) on the held-out family."""
@@ -94,6 +119,12 @@ def main() -> int:
     ap.add_argument("--pass2", action="store_true",
                     help="run the VARIANTS_P2 grid (2-family control + "
                          "longer 3-family runs)")
+    ap.add_argument("--pass3", action="store_true",
+                    help="run the VARIANTS_P3 grid (revised cellular "
+                         "family)")
+    ap.add_argument("--pass4", action="store_true",
+                    help="run the VARIANTS_P4 grid (3x-step ablation + "
+                         "stronger logit bound)")
     args = ap.parse_args()
 
     from avd_tpu.models import detector
@@ -101,7 +132,9 @@ def main() -> int:
 
     cfg = detector.make_config("small")  # matches train()'s defaults
     results = []
-    variants = VARIANTS_P2 if args.pass2 else VARIANTS
+    variants = (VARIANTS_P4 if args.pass4
+                else VARIANTS_P3 if args.pass3
+                else VARIANTS_P2 if args.pass2 else VARIANTS)
     for name, fams, mult, aug, l2 in variants:
         fams = tuple(fams or train_mod.TRAIN_FAMILIES)
         t0 = time.time()
