@@ -59,6 +59,12 @@ def bench(config: str, batch: int):
     arch = config.split("-")[0]
     fam = models.family(arch)
     cfg = fam.make_config("full")
+    if config.endswith("-fused"):
+        # fused Pallas attention A/B (ops/pallas/attention.py)
+        import dataclasses
+        if arch != "vit":
+            raise SystemExit(f"{config}: fused attention is vit-only")
+        cfg = dataclasses.replace(cfg, fused_attn=True)
     params = fam.init_params(jax.random.PRNGKey(0), cfg)
     if config.endswith("-int8") and arch not in ("vit", "cnn"):
         raise SystemExit(f"{config}: int8 PTQ supports vit/cnn only")
