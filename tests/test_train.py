@@ -187,19 +187,26 @@ def test_interpolate_pos_emb_resolution_transfer(tmp_path):
     assert np.isfinite(losses).all()
 
 
-@pytest.mark.parametrize("arch,preset,n,floor", [
-    ("vit", "small", 128, 0.65),     # measured unseen AUC ~0.79
-    ("vit", "moe_small", 128, 0.65),  # Switch-MoE EP (VERDICT r2 #8)
-    ("vit", "full", 64, 0.80),   # 224px flagship; measured unseen 0.981
-    ("cnn", "small", 128, 0.80),  # round-3 retrain; measured 0.985
+@pytest.mark.parametrize("arch,preset,n,floor,acc_floor", [
+    # round-4 retrains (3 families + codec aug + logit-L2 2e-2);
+    # measured at n=512 in BASELINE.md round 4:
+    ("vit", "small", 128, 0.80, 0.0),     # measured unseen AUC 0.978
+    ("vit", "moe_small", 128, 0.70, 0.0),  # measured 0.908 (VERDICT r3 #6)
+    ("vit", "full", 64, 0.90, 0.75),   # measured 0.997, acc 0.920
+    ("cnn", "small", 128, 0.85, 0.0),  # measured 0.974
 ])
 def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
-                                                     floor):
+                                                     floor, acc_floor):
     """Every SHIPPED per-frame checkpoint (trained on the TRAIN_FAMILIES
     curriculum) must score better than chance on the held-out 'texture'
     generator family it never saw — the generalization claim behind the
     detector slot (full table: tools/eval_detector.py, BASELINE.md).
-    Floors leave sampling margin below the measured AUCs at these n."""
+    Floors leave sampling margin below the measured AUCs at these n.
+
+    The flagship additionally asserts unseen-family ACCURACY at the
+    shipped 0.5 threshold — the round-4 threshold-transfer claim
+    (logit-L2 2e-2; BASELINE.md round 4): scores must SEPARATE at 0.5
+    on out-of-family content, not merely rank."""
     import os
 
     from avd_tpu.models import scoring
@@ -213,8 +220,12 @@ def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
                                             h264_crfs=())
     acc, auc, _ece, _ece_t = fams[train.HELDOUT_FAMILY]
     assert auc > floor, (acc, auc)
+    assert acc > acc_floor, (acc, auc)
     # and it actually learned its training families
     assert fams["blobs"][1] > 0.9 and fams["geometric"][1] > 0.9, fams
+    # shipped artifacts carry their provenance + calibration sidecars
+    assert os.path.exists(os.path.join(ckpt, "calibration.json"))
+    assert os.path.exists(os.path.join(ckpt, "train_meta.json"))
 
 
 def test_train_driver_3d_pp_tp():
