@@ -70,10 +70,22 @@ class TemporalConfig:
     patch: int = 16
     width: int = 256          # temporal stream dim
     depth: int = 4            # temporal blocks (attention over frames)
-    frame_depth: int = 2      # spatial blocks per frame (over patches)
+    frame_depth: int = 4      # spatial blocks per frame (over patches)
     heads: int = 4
     mlp_ratio: int = 4
     n_classes: int = 1        # per-frame binary: AI-generated?
+    # Auxiliary per-frame supervision weight: BCE on a linear head read
+    # directly off the frame embedding (before any cross-frame
+    # attention).  Round-4 transfer diagnosis: the blobs+geo+cellular
+    # temporal run scored BOTH classes of the held-out 'texture' family
+    # z~-2.2 even on repeated-single-frame clips — the spatial trunk
+    # (then frame_depth=2, supervised only through 4 temporal blocks)
+    # had collapsed to family-signature features instead of the
+    # smooth-vs-noisy meta-cue the per-frame ViT learns (same data, same
+    # 64px/patch-16 grid, unseen AUC 0.978).  Supervising the trunk
+    # directly (like the ViT) + frame_depth 4 closes that gap; the aux
+    # head is unused at serving time.
+    aux_frame_loss: float = 0.5
 
     @property
     def head_dim(self) -> int:
@@ -116,6 +128,7 @@ def param_specs(cfg: TemporalConfig) -> Dict[str, Any]:
         "layers": [dict(layer) for _ in range(cfg.depth)],
         "ln_f_scale": P(), "ln_f_bias": P(),
         "head_w": P(), "head_b": P(),
+        "aux_w": P(), "aux_b": P(),
     }
 
 
@@ -159,6 +172,11 @@ def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
         "ln_f_bias": jnp.zeros((d,), jnp.float32),
         "head_w": dense(k[2], d, (d, cfg.n_classes)),
         "head_b": jnp.zeros((cfg.n_classes,), jnp.float32),
+        # auxiliary per-frame head (training-only; see
+        # TemporalConfig.aux_frame_loss)
+        "aux_w": dense(jax.random.fold_in(k[2], 1), d,
+                       (d, cfg.n_classes)),
+        "aux_b": jnp.zeros((cfg.n_classes,), jnp.float32),
     }
     for i in range(cfg.depth):
         params["layers"].append(
@@ -256,22 +274,29 @@ def _head(params, x: jnp.ndarray) -> jnp.ndarray:
 
 def forward(params: Dict[str, Any], frames: jnp.ndarray,
             cfg: TemporalConfig, t0: int = 0,
-            mask: jnp.ndarray | None = None) -> jnp.ndarray:
+            mask: jnp.ndarray | None = None,
+            return_aux: bool = False) -> jnp.ndarray:
     """[B, T, H, W, 3] float in [0,1] → [B, T, n_classes] f32 logits
     (one score per frame, attention over the whole sequence).
 
     ``mask`` ([B, T] bool, True = real frame) excludes padded positions
     from every attention softmax, so real frames' scores are independent
-    of how much tail padding a bucketed batch carries."""
+    of how much tail padding a bucketed batch carries.
+
+    ``return_aux`` additionally returns the auxiliary per-frame logits
+    read straight off the frame embedding (training-only — see
+    TemporalConfig.aux_frame_loss); serving ignores them."""
     from avd_tpu.parallel import attention as pa
 
     x = _encode_frames(params, frames, cfg)
+    aux = x.astype(jnp.float32) @ params["aux_w"] + params["aux_b"]
     x = x + _time_encoding(jnp.int32(t0), x.shape[1],
                            cfg.width).astype(x.dtype)[None]
     attn = pa.full_attention if mask is None else masked_attention(mask)
     for lp in params["layers"]:
         x = _block(x, lp, cfg, attn)
-    return _head(params, x)
+    out = _head(params, x)
+    return (out, aux) if return_aux else out
 
 
 def forward_clip(params: Dict[str, Any], frames: jnp.ndarray,
@@ -339,10 +364,23 @@ def loss_fn(params, frames, labels, cfg: TemporalConfig,
     adds the score-scale regularizer (detector._logit_l2)."""
     del sharded
     from avd_tpu.models.detector import _logit_l2
-    z = forward(params, frames, cfg)[..., 0].reshape(-1)
-    loss = _bce(z, labels.reshape(-1))
+    out, aux = forward(params, frames, cfg, return_aux=True)
+    z = out[..., 0].reshape(-1)
+    y = labels.reshape(-1)
+    loss = _bce(z, y)
     if logit_l2:
         loss = loss + _logit_l2(z, logit_l2)
+    if cfg.aux_frame_loss:
+        # Supervise the spatial trunk directly (per-frame, before any
+        # cross-frame attention) so it must carry the transferable
+        # smooth-vs-noisy cue itself — without this the trunk can emit
+        # mere family signatures and let the temporal blocks decide,
+        # which measured BELOW CHANCE on the held-out family (AUC 0.586,
+        # both classes z~-2.2; BASELINE.md round 4).
+        za = aux[..., 0].reshape(-1)
+        loss = loss + cfg.aux_frame_loss * _bce(za, y)
+        if logit_l2:
+            loss = loss + cfg.aux_frame_loss * _logit_l2(za, logit_l2)
     return loss
 
 

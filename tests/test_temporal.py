@@ -40,6 +40,44 @@ def test_forward_clip_is_batchless_forward():
     np.testing.assert_array_equal(a, b)
 
 
+def test_aux_head_per_frame_and_serving_unchanged():
+    """return_aux yields the training-only per-frame logits read off the
+    frame embedding (the round-4 transfer fix: the spatial trunk is
+    supervised directly, BASELINE.md round 4).  The aux branch must not
+    perturb the serving output, and — because it sits BEFORE any
+    cross-frame attention — a frame's aux logit must be independent of
+    the rest of the clip (the main logits are not)."""
+    cfg, params, frames = _setup()
+    main = np.asarray(temporal.forward(params, frames, cfg))
+    out, aux = temporal.forward(params, frames, cfg, return_aux=True)
+    np.testing.assert_array_equal(main, np.asarray(out))
+    assert aux.shape == main.shape and np.isfinite(np.asarray(aux)).all()
+    # swap the OTHER frames: aux for frame 0 unchanged, main moves
+    shuffled = jnp.concatenate([frames[:, :1], frames[:, ::-1][:, :-1]],
+                               axis=1)
+    out2, aux2 = temporal.forward(params, shuffled, cfg, return_aux=True)
+    np.testing.assert_allclose(np.asarray(aux)[:, 0],
+                               np.asarray(aux2)[:, 0], rtol=1e-6)
+    assert not np.allclose(np.asarray(out)[:, 0], np.asarray(out2)[:, 0])
+
+
+def test_aux_loss_contributes():
+    """cfg.aux_frame_loss adds the trunk-supervision BCE term: zeroing
+    it must change the loss, and both variants stay finite under grad."""
+    import dataclasses
+    cfg, params, frames = _setup(b=2, t=4)
+    labels = jnp.asarray(np.array([[0, 1, 1, 0], [1, 0, 0, 1]], np.int32))
+    cfg0 = dataclasses.replace(cfg, aux_frame_loss=0.0)
+    l_aux = float(temporal.loss_fn(params, frames, labels, cfg))
+    l_no = float(temporal.loss_fn(params, frames, labels, cfg0))
+    assert np.isfinite(l_aux) and np.isfinite(l_no) and l_aux != l_no
+    g = jax.grad(lambda p: temporal.loss_fn(p, frames, labels, cfg))(params)
+    # the aux head only gets gradient through its own term
+    assert np.abs(np.asarray(g["aux_w"])).sum() > 0
+    g0 = jax.grad(lambda p: temporal.loss_fn(p, frames, labels, cfg0))(params)
+    assert np.abs(np.asarray(g0["aux_w"])).sum() == 0
+
+
 def test_temporal_context_matters():
     """The same frame in a different sequence must (generically) score
     differently — the whole point of the family."""
