@@ -194,6 +194,9 @@ def test_interpolate_pos_emb_resolution_transfer(tmp_path):
     ("vit", "moe_small", 128, 0.70, 0.0),  # measured 0.908 (VERDICT r3 #6)
     ("vit", "full", 64, 0.90, 0.75),   # measured 0.997, acc 0.920
     ("cnn", "small", 128, 0.85, 0.0),  # measured 0.974
+    # round-4 trunk-supervision fix (aux_frame_loss); measured 0.998,
+    # acc 0.977 — sequences, so n counts clips of 8 frames
+    ("temporal", "small", 64, 0.90, 0.80),
 ])
 def test_shipped_detector_transfers_to_unseen_family(arch, preset, n,
                                                      floor, acc_floor):
