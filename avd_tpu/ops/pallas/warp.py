@@ -111,8 +111,15 @@ def _warp_kernel(flow_ref, src_ref, out_ref, rows_ref, acc_ref, *,
         st8 = (st // 8) * 8
         vshift = (-(st - st8)) % nbuf
         for c in range(_C):
+            # upcast BEFORE the rotate: Mosaic's tpu.dynamic_rotate is
+            # unimplemented for 16-bit data ("Rotate with non-32-bit
+            # data", measured on the real chip — interpret mode can't
+            # catch it).  The HBM block read of src_ref stays bf16
+            # under AVD_FLOW_BF16 (the bandwidth win); only the VMEM
+            # row window widens.
             rows_ref[pl.ds(c * nbuf, nbuf), :] = pltpu.roll(
-                src_ref[0, c, pl.ds(st8, nbuf), :], vshift, 0)
+                src_ref[0, c, pl.ds(st8, nbuf), :].astype(jnp.float32),
+                vshift, 0)
 
         def body_dx(ix, _):
             dx = dx_lo + ix
@@ -121,11 +128,8 @@ def _warp_kernel(flow_ref, src_ref, out_ref, rows_ref, acc_ref, *,
             wgt = wy * wx
             hshift = (-dx) % wp
             for c in range(_C):
-                # bf16 src (AVD_FLOW_BF16) upcasts at the accumulate;
-                # the weighted sum always runs in f32
                 acc_ref[c] += wgt * pltpu.roll(
-                    rows_ref[pl.ds(c * nbuf, bh), :], hshift,
-                    1).astype(jnp.float32)
+                    rows_ref[pl.ds(c * nbuf, bh), :], hshift, 1)
             return 0
 
         jax.lax.fori_loop(0, nx, body_dx, 0)
@@ -182,9 +186,10 @@ def warp_bilinear(src: jnp.ndarray, flow: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, _C, h, w_pad), jnp.float32),
         scratch_shapes=[
-            # row windows stay in the src storage dtype (bf16 halves the
-            # buffer under AVD_FLOW_BF16); the accumulator is always f32
-            pltpu.VMEM((_C * (bh + 8), w_pad), src.dtype),
+            # row windows widen to f32 at the copy-in (Mosaic's rotate
+            # can't run on 16-bit data); the bf16 win under
+            # AVD_FLOW_BF16 is the halved src_ref HBM read, not VMEM
+            pltpu.VMEM((_C * (bh + 8), w_pad), jnp.float32),
             pltpu.VMEM((_C, bh, w_pad), jnp.float32),
         ],
         interpret=interpret,
