@@ -288,7 +288,8 @@ def evaluate_sequences(params, cfg, n: int = 64, t: int = 8,
 
 def augment_pool_codec(frames: np.ndarray, frac: float,
                        rng: np.random.Generator,
-                       sequences: bool = False) -> np.ndarray:
+                       sequences: bool = False,
+                       crfs: tuple = (18, 23, 28)) -> np.ndarray:
     """Run a ``frac`` fraction of the sample pool through REAL codec
     round-trips (avd_tpu/ingest/codec.py) at mixed severities.
 
@@ -302,13 +303,15 @@ def augment_pool_codec(frames: np.ndarray, frac: float,
     ``roundtrip_sequences``.  One-time pool cost — the train loop's
     per-step path is untouched.
 
-    Training CRFs are capped at 28 (near-transparent → typical web
-    re-encode), NOT the eval sweep's 35/45: at heavy CRF the codec
-    erases the camera frames' sensor-noise cue, and those samples become
-    label noise that teaches "smooth = camera" — measured as a
-    below-chance unseen-family AUC collapse (0.74 → 0.44 at 3x steps,
+    Training CRFs default to ≤28 (near-transparent → typical web
+    re-encode), NOT the eval sweep's 45: at heavy CRF the codec erases
+    the camera frames' sensor-noise cue, and those samples become label
+    noise that teaches "smooth = camera" — measured as a below-chance
+    unseen-family AUC collapse (0.74 → 0.44 at 3x steps,
     tools/threshold_study.py pass 2) when augmentation drew from the
-    full sweep."""
+    full sweep.  ``crfs`` (``--aug-crfs``) overrides the set — the
+    round-4 continuation study tests whether the mid band (32/35) is
+    safe even though 45 is toxic (docs/studies/)."""
     from avd_tpu.ingest import codec as codec_mod
     if frac <= 0:
         return frames
@@ -321,7 +324,7 @@ def augment_pool_codec(frames: np.ndarray, frac: float,
     sel = rng.choice(n, n_aug, replace=False)
     codecs = np.asarray(["libx264", "libx264", "libx265", "mpeg4"])
     pick_codec = codecs[rng.integers(0, len(codecs), n_aug)]
-    train_crfs = (18, 23, 28)
+    train_crfs = tuple(crfs)
     pick_crf = np.asarray(train_crfs)[
         rng.integers(0, len(train_crfs), n_aug)]
     out = frames.copy()
@@ -378,7 +381,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           remat: bool = False, scan: bool = False, seq_len: int = 8,
           init_from: str | None = None, families=("blobs",),
           aug_codec: float = 0.0, logit_l2: float = 0.0,
-          resume: bool = False, save_every: int = 0):
+          aug_crfs: tuple = (18, 23, 28),
+          resume: bool = False, save_every: int = 0,
+          zero1: bool = False):
     import os
 
     import jax
@@ -484,9 +489,28 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             params = mesh_mod.shard_params(mesh, params,
                                            detector.param_specs(cfg))
         opt_state = optimizer.init(params)
-        step_fn = jax.jit(detector.make_train_step(cfg, optimizer,
-                                                   sharded=sharded,
-                                                   logit_l2=logit_l2))
+        raw_step = detector.make_train_step(cfg, optimizer,
+                                            sharded=sharded,
+                                            logit_l2=logit_l2)
+        if zero1:
+            # ZeRO-1: AdamW moments sharded over the data axis (each
+            # device holds 1/|data| of the f32 optimizer memory); the
+            # step body is unchanged — XLA places the reduce-scatter /
+            # all-gather (parallel/zero.py)
+            if not sharded:
+                raise ValueError("--zero1 needs >1 device (a data axis "
+                                 "to shard the optimizer state over)")
+            if arch not in ("vit", "cnn"):
+                raise ValueError("--zero1 rides the dp/tp step "
+                                 "(vit/cnn)")
+            from avd_tpu.parallel import zero as zero_mod
+            specs = detector.param_specs(cfg)
+            opt_state = zero_mod.shard_opt_state(opt_state, params,
+                                                 specs, mesh)
+            step_fn = zero_mod.zero1_jit_train_step(
+                raw_step, params, opt_state, specs, mesh)
+        else:
+            step_fn = jax.jit(raw_step)
 
     start_step = 0
     if resume:
@@ -523,10 +547,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         t_aug = time.time()
         aug_rng = np.random.default_rng((seed, 77))
         pool = (augment_pool_codec(pool[0], aug_codec, aug_rng,
-                                   sequences=(arch == "temporal")),
+                                   sequences=(arch == "temporal"),
+                                   crfs=tuple(aug_crfs)),
                 pool[1])
         print(f"codec augmentation: {aug_codec:.0%} of the pool through "
-              f"H.264/H.265/MPEG-4 round-trips "
+              f"H.264/H.265/MPEG-4 round-trips at CRF {tuple(aug_crfs)} "
               f"({time.time() - t_aug:.1f}s)", flush=True)
     elif aug_codec > 0:
         raise ValueError("--aug-codec requires the sample-pool path "
@@ -563,6 +588,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                        "steps": at_step, "batch": batch, "lr": lr,
                        "image_size": image_size, "seed": seed,
                        "aug_codec": aug_codec, "logit_l2": logit_l2,
+                       "aug_crfs": list(aug_crfs),
                        "init_from": init_from}, f)
 
     losses = []
@@ -668,12 +694,22 @@ def main() -> int:
                          "H.264/H.265/MPEG-4 round-trips at mixed CRFs "
                          "(ingest/codec.py; deployment inputs are "
                          "compressed uploads)")
+    ap.add_argument("--aug-crfs", default="18,23,28", dest="aug_crfs",
+                    metavar="CRF,CRF,...",
+                    help="CRF set --aug-codec draws from (default "
+                         "18,23,28; the full eval sweep's 45 is toxic — "
+                         "augment_pool_codec docstring)")
     ap.add_argument("--logit-l2", type=float, default=0.0,
                     dest="logit_l2", metavar="COEF",
                     help="score-distribution regularizer: COEF*mean(z^2) "
                          "on the raw logits (bounds training-family "
                          "margins so unseen-family scores separate at "
                          "the 0.5 threshold)")
+    ap.add_argument("--zero1", action="store_true",
+                    help="ZeRO-1: shard the AdamW moments over the data "
+                         "axis (each device keeps 1/|data| of the f32 "
+                         "optimizer memory; parallel/zero.py — needs >1 "
+                         "device, dp/tp path only)")
     ap.add_argument("--resume", action="store_true",
                     help="continue the run saved at --out (params from "
                          "<out>, optimizer state + step from <out>.train; "
@@ -710,7 +746,10 @@ def main() -> int:
                       cache_samples=args.cache_samples,
                       families=tuple(args.families.split(",")),
                       aug_codec=args.aug_codec, logit_l2=args.logit_l2,
-                      resume=args.resume, save_every=args.save_every)
+                      aug_crfs=tuple(int(c) for c in
+                                     args.aug_crfs.split(",")),
+                      resume=args.resume, save_every=args.save_every,
+                      zero1=args.zero1)
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

@@ -79,6 +79,22 @@ VARIANTS_P4 = (
     ("3fam-r-3x-aug+l2-2e-2", None, 3, 0.5, 2e-2),
 )
 
+# Pass 5 (round-4 continuation): the shipped flagship's H.264 CRF-35
+# AUC (0.848, BASELINE.md round 4) trails every small model (0.89-0.93),
+# and the training-CRF cap at 28 was set by pass 2's FULL-sweep
+# collapse — a sweep that included the toxic CRF 45.  Is the mid band
+# (32/35) safe?  Each variant is the shipped recipe (3 families,
+# logit-L2 2e-2, 3x steps) with a different aug CRF set/fraction; the
+# table adds train-family CRF-35 acc/AUC next to the pass-4 threshold
+# metrics, so a robustness win that costs transfer is visible.
+VARIANTS_P5 = (
+    # name, families, steps_mult, aug_codec, logit_l2, aug_crfs
+    ("crf<=28 (shipped)", None, 3, 0.5, 2e-2, (18, 23, 28)),
+    ("crf+32", None, 3, 0.5, 2e-2, (18, 23, 28, 32)),
+    ("crf+35", None, 3, 0.5, 2e-2, (18, 23, 28, 35)),
+    ("crf+35-frac.75", None, 3, 0.75, 2e-2, (18, 23, 28, 35)),
+)
+
 
 def unseen_stats(params, cfg, n: int, seed: int = 999):
     """(acc, auc, logit mean/std per class) on the held-out family."""
@@ -108,6 +124,35 @@ def unseen_stats(params, cfg, n: int, seed: int = 999):
     }
 
 
+def codec_stats(params, cfg, n: int, crf: int, families,
+                seed: int = 999):
+    """(acc, auc) on TRAIN-family frames through a real H.264 round-trip
+    at ``crf`` — the BASELINE.md CRF-sweep metric at study scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.ingest import codec as codec_mod
+    from avd_tpu.models import detector
+    from avd_tpu.models.train import _acc_auc, synthetic_batch
+
+    @jax.jit
+    def logits_fn(p, fb):
+        return detector.forward(p, fb, cfg)[:, 0].astype(jnp.float32)
+
+    rng = np.random.default_rng(seed + 7)
+    zs, ys = [], []
+    for _ in range(max(1, n // 64)):
+        frames, labels = synthetic_batch(rng, 64, cfg.image_size,
+                                         tuple(families))
+        frames = codec_mod.roundtrip_frames(
+            frames, codec="libx264", crf=crf,
+            rng=np.random.default_rng(seed + 8))
+        zs.append(np.asarray(logits_fn(params, jnp.asarray(frames))))
+        ys.append(labels)
+    z, y = np.concatenate(zs), np.concatenate(ys)
+    return _acc_auc(1.0 / (1.0 + np.exp(-np.clip(z, -60, 60))), y)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--steps", type=int, default=2000)
@@ -125,6 +170,9 @@ def main() -> int:
     ap.add_argument("--pass4", action="store_true",
                     help="run the VARIANTS_P4 grid (3x-step ablation + "
                          "stronger logit bound)")
+    ap.add_argument("--pass5", action="store_true",
+                    help="run the VARIANTS_P5 grid (training-CRF band "
+                         "extension vs CRF-35 robustness)")
     args = ap.parse_args()
 
     from avd_tpu.models import detector
@@ -132,26 +180,35 @@ def main() -> int:
 
     cfg = detector.make_config("small")  # matches train()'s defaults
     results = []
-    variants = (VARIANTS_P4 if args.pass4
+    variants = (VARIANTS_P5 if args.pass5
+                else VARIANTS_P4 if args.pass4
                 else VARIANTS_P3 if args.pass3
                 else VARIANTS_P2 if args.pass2 else VARIANTS)
-    for name, fams, mult, aug, l2 in variants:
+    for v in variants:
+        name, fams, mult, aug, l2 = v[:5]
+        crfs = v[5] if len(v) > 5 else (18, 23, 28)
         fams = tuple(fams or train_mod.TRAIN_FAMILIES)
         t0 = time.time()
         params, losses = train_mod.train(
             steps=args.steps * mult, batch=args.batch, lr=3e-4,
             image_size=64, log_every=200, seed=args.seed,
-            families=fams, aug_codec=aug, logit_l2=l2)
+            families=fams, aug_codec=aug, logit_l2=l2,
+            aug_crfs=crfs)
         seen_acc, seen_auc = train_mod.evaluate(
             params, cfg, n=256, families=fams)
         acc, auc, zstats = unseen_stats(params, cfg, args.n)
         row = {"variant": name, "families": list(fams),
                "steps": args.steps * mult,
                "aug_codec": aug, "logit_l2": l2,
+               "aug_crfs": list(crfs),
                "unseen_acc": acc, "unseen_auc": auc,
                "seen_acc": seen_acc, "seen_auc": seen_auc,
                "unseen_logits": zstats, "final_loss": losses[-1],
                "train_s": time.time() - t0}
+        if args.pass5:
+            for crf in (35, 45):
+                cacc, cauc = codec_stats(params, cfg, args.n, crf, fams)
+                row[f"crf{crf}_acc"], row[f"crf{crf}_auc"] = cacc, cauc
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -161,9 +218,13 @@ def main() -> int:
     for r in results:
         cz, az = r["unseen_logits"]["cam_logit"], \
             r["unseen_logits"]["ai_logit"]
+        extra = (f" crf35 {r['crf35_acc']:.3f}/{r['crf35_auc']:.3f}"
+                 f" crf45 {r['crf45_acc']:.3f}/{r['crf45_auc']:.3f}"
+                 if "crf35_acc" in r else "")
         print(f"| {r['variant']} | {r['unseen_acc']:.3f} "
               f"| {r['unseen_auc']:.3f} | {r['seen_acc']:.3f} "
-              f"| {cz[0]:+.2f}±{cz[1]:.2f} | {az[0]:+.2f}±{az[1]:.2f} |")
+              f"| {cz[0]:+.2f}±{cz[1]:.2f} | {az[0]:+.2f}±{az[1]:.2f} |"
+              + extra)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
