@@ -683,9 +683,44 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh, n_micro: int = 0,
     return step
 
 
-def make_optimizer(lr: float = 3e-4):
+def make_optimizer(lr: float = 3e-4, steps: int = 0, warmup: int = 0,
+                   schedule: str = "const", grad_clip: float = 0.0,
+                   accum: int = 1):
+    """AdamW with the standard production-trainer controls, all
+    default-off so existing recipes/checkpoints are unchanged:
+
+    * ``schedule='cosine'`` — linear warmup over ``warmup`` steps then
+      cosine decay to 1% of ``lr`` at ``steps`` (requires ``steps``);
+      ``'const'`` with ``warmup`` > 0 warms up linearly then holds.
+    * ``grad_clip`` — global-norm clipping BEFORE the Adam statistics
+      (the conventional order: a spike shouldn't poison the moments).
+    * ``accum`` — gradient accumulation via optax.MultiSteps: ``accum``
+      micro-batch grads are averaged before one optimizer step, so
+      accum=K at batch B steps exactly like batch K*B (test_train.py).
+      Composes with ZeRO-1 (parallel/zero.py): the accumulator pytree
+      mirrors the parameters, so its leaves inherit the data-sharded
+      moment specs and the accumulation buffers shard too (ZeRO-2-style
+      gradient-memory scaling for free).
+    """
     import optax
-    return optax.adamw(lr, weight_decay=1e-4)
+    if schedule not in ("const", "cosine"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "cosine":
+        if steps <= 0:
+            raise ValueError("schedule='cosine' needs total steps")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=steps, end_value=lr * 0.01)
+    elif warmup > 0:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.constant_schedule(lr)], [warmup])
+    tx = optax.adamw(lr, weight_decay=1e-4)
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def interpolate_pos_emb(params: Dict[str, Any],

@@ -383,7 +383,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           aug_codec: float = 0.0, logit_l2: float = 0.0,
           aug_crfs: tuple = (18, 23, 28),
           resume: bool = False, save_every: int = 0,
-          zero1: bool = False):
+          zero1: bool = False, fsdp: bool = False,
+          warmup: int = 0, schedule: str = "const",
+          grad_clip: float = 0.0, accum: int = 1, ema: float = 0.0):
     import os
 
     import jax
@@ -451,7 +453,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             raise ValueError(f"--resume: no checkpoint+train state at "
                              f"{out}[.train]")
         params = detector.load_checkpoint(out, params)
-    optimizer = detector.make_optimizer(lr)
+    # with accumulation the optimizer only steps every `accum` loop
+    # iterations — the cosine horizon is in OPTIMIZER steps
+    optimizer = detector.make_optimizer(
+        lr, steps=max(1, steps // max(1, accum)), warmup=warmup,
+        schedule=schedule, grad_clip=grad_clip, accum=accum)
 
     n_dev = len(jax.devices())
     sharded = n_dev > 1
@@ -484,10 +490,26 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         step_fn = jax.jit(detector.make_pp_train_step(cfg, optimizer,
                                                       mesh, tp=tp > 1))
     else:
+        specs = detector.param_specs(cfg)
+        if fsdp:
+            # ZeRO-3/FSDP: the parameters THEMSELVES shard over the
+            # data axis (parallel/zero.py::fsdp_param_specs); moments
+            # and accumulation buffers follow the same specs, so the
+            # whole param+grad+state trio scales with |data|
+            if n_dev <= 1:
+                raise ValueError("--fsdp needs >1 device")
+            if arch not in ("vit", "cnn"):
+                raise ValueError("--fsdp rides the dp/tp step (vit/cnn)")
+            from avd_tpu.parallel import zero as zero_mod
+            mesh = mesh or mesh_mod.make_mesh(n_dev,
+                                              axes=("data", "model"))
+            specs = zero_mod.fsdp_param_specs(params, specs,
+                                              mesh.shape["data"])
+            zero1 = True  # the jit/sharding wiring below is shared
         if sharded:
-            mesh = mesh_mod.make_mesh(n_dev, axes=("data", "model"))
-            params = mesh_mod.shard_params(mesh, params,
-                                           detector.param_specs(cfg))
+            mesh = mesh or mesh_mod.make_mesh(n_dev,
+                                              axes=("data", "model"))
+            params = mesh_mod.shard_params(mesh, params, specs)
         opt_state = optimizer.init(params)
         raw_step = detector.make_train_step(cfg, optimizer,
                                             sharded=sharded,
@@ -504,7 +526,6 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                 raise ValueError("--zero1 rides the dp/tp step "
                                  "(vit/cnn)")
             from avd_tpu.parallel import zero as zero_mod
-            specs = detector.param_specs(cfg)
             opt_state = zero_mod.shard_opt_state(opt_state, params,
                                                  specs, mesh)
             step_fn = zero_mod.zero1_jit_train_step(
@@ -513,13 +534,17 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             step_fn = jax.jit(raw_step)
 
     start_step = 0
+    _resume_ema = None
     if resume:
         # restore optimizer state + step counter on the host; the first
         # step_fn call re-places them (matching params' shardings)
-        st = detector.load_checkpoint(
-            state_path, jax.device_get({"step": 0, "opt_state": opt_state}))
+        tmpl = {"step": 0, "opt_state": opt_state}
+        if ema > 0:
+            tmpl["ema"] = params  # same tree shape; values overwritten
+        st = detector.load_checkpoint(state_path, jax.device_get(tmpl))
         opt_state = st["opt_state"]
         start_step = int(st["step"])
+        _resume_ema = st.get("ema")
         print(f"resumed at step {start_step} from {state_path}", flush=True)
 
     rng = np.random.default_rng(seed)
@@ -572,13 +597,29 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
               f"({pool[0].nbytes / 1e6:.0f} MB, {pool_n} samples)",
               flush=True)
 
+    # parameter EMA (Polyak averaging) — shipped-quality weights for
+    # noisy small-batch runs.  jnp.copy breaks buffer aliasing with
+    # `params` (the ZeRO path donates the params input buffers).
+    ema_params = None
+    if ema > 0:
+        if not 0 < ema < 1:
+            raise ValueError(f"--ema decay must be in (0, 1), got {ema}")
+        ema_params = jax.tree_util.tree_map(
+            jnp.asarray, _resume_ema if _resume_ema is not None
+            else jax.device_get(params))
+        ema_fn = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: ema * a + (1.0 - ema) * b, e, p))
+
     def _save_state(at_step: int) -> None:
         if not out:
             return
         detector.save_checkpoint(out, jax.device_get(params))
-        detector.save_checkpoint(
-            state_path, jax.device_get({"step": at_step,
-                                        "opt_state": opt_state}))
+        state = {"step": at_step, "opt_state": opt_state}
+        if ema_params is not None:
+            state["ema"] = ema_params
+            detector.save_checkpoint(out + ".ema",
+                                     jax.device_get(ema_params))
+        detector.save_checkpoint(state_path, jax.device_get(state))
         # training provenance beside the weights: what produced this
         # checkpoint (tests and evals read `families` instead of
         # assuming the current TRAIN_FAMILIES)
@@ -589,6 +630,9 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                        "image_size": image_size, "seed": seed,
                        "aug_codec": aug_codec, "logit_l2": logit_l2,
                        "aug_crfs": list(aug_crfs),
+                       "warmup": warmup, "schedule": schedule,
+                       "grad_clip": grad_clip, "accum": accum,
+                       "ema": ema, "zero1": zero1, "fsdp": fsdp,
                        "init_from": init_from}, f)
 
     losses = []
@@ -626,6 +670,8 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                     fb = jax.device_put(fb, bs)
                     lb = jax.device_put(lb, bs)
             params, opt_state, loss = step_fn(params, opt_state, fb, lb)
+            if ema_params is not None:
+                ema_params = ema_fn(ema_params, params)
             losses.append(float(loss))
             if log_every and step % log_every == 0:
                 rate = (step - start_step + 1) * batch / (time.time() - t0)
@@ -642,6 +688,15 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         acc, auc = evaluate(params, cfg, fam=detector, families=families)
     print(f"held-out synthetic eval: accuracy {acc:.3f}  auc {auc:.3f}",
           flush=True)
+    if ema_params is not None:
+        if arch == "temporal":
+            eacc, eauc = evaluate_sequences(ema_params, cfg, t=seq_len,
+                                            families=families)
+        else:
+            eacc, eauc = evaluate(ema_params, cfg, fam=detector,
+                                  families=families)
+        print(f"EMA({ema}) eval: accuracy {eacc:.3f}  auc {eauc:.3f} "
+              f"(weights at <out>.ema)", flush=True)
     if out:
         _save_state(steps)
         print(f"checkpoint written to {out} (+ {state_path} for --resume)",
@@ -705,6 +760,31 @@ def main() -> int:
                          "on the raw logits (bounds training-family "
                          "margins so unseen-family scores separate at "
                          "the 0.5 threshold)")
+    ap.add_argument("--warmup", type=int, default=0, metavar="K",
+                    help="linear LR warmup over K steps (then hold, or "
+                         "cosine-decay with --schedule cosine)")
+    ap.add_argument("--schedule", default="const",
+                    choices=("const", "cosine"),
+                    help="LR schedule; cosine decays to 1%% of --lr by "
+                         "the final optimizer step")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    dest="grad_clip", metavar="NORM",
+                    help="global-norm gradient clipping (0 = off), "
+                         "applied before the Adam moments")
+    ap.add_argument("--accum", type=int, default=1, metavar="K",
+                    help="gradient accumulation: average K micro-batch "
+                         "grads per optimizer step (steps exactly like "
+                         "batch K*--batch; composes with --zero1)")
+    ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                    help="parameter EMA (Polyak) with this decay; EMA "
+                         "weights saved to <out>.ema and evaluated at "
+                         "the end")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-3/FSDP: shard the PARAMETERS (and their "
+                         "moments) over the data axis via pinned GSPMD "
+                         "shardings — XLA all-gathers weights "
+                         "just-in-time (parallel/zero.py; needs >1 "
+                         "device, dp/tp path only)")
     ap.add_argument("--zero1", action="store_true",
                     help="ZeRO-1: shard the AdamW moments over the data "
                          "axis (each device keeps 1/|data| of the f32 "
@@ -749,7 +829,10 @@ def main() -> int:
                       aug_crfs=tuple(int(c) for c in
                                      args.aug_crfs.split(",")),
                       resume=args.resume, save_every=args.save_every,
-                      zero1=args.zero1)
+                      zero1=args.zero1, fsdp=args.fsdp,
+                      warmup=args.warmup, schedule=args.schedule,
+                      grad_clip=args.grad_clip, accum=args.accum,
+                      ema=args.ema)
     if losses:
         print(f"final loss {losses[-1]:.4f}")
     return 0

@@ -47,6 +47,8 @@ def zero_spec(spec: P, shape: Tuple[int, ...], data_size: int,
     returned unchanged — that moment stays replicated rather than padded
     (uneven shards would force XLA into masked updates)."""
     entries = list(spec) + [None] * (len(shape) - len(spec))
+    if axis in entries:
+        return spec  # already ZeRO'd (e.g. FSDP specs fed back in)
     best, best_dim = -1, -1
     for i, (e, n) in enumerate(zip(entries, shape)):
         if e is None and n % data_size == 0 and n > best:
@@ -88,6 +90,27 @@ def zero1_state_shardings(opt_state, params, specs, mesh: Mesh,
                 spec = hit
         shardings.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def fsdp_param_specs(params, specs, data_size: int, axis: str = "data"):
+    """ZeRO-3/FSDP the GSPMD way: a specs pytree (same structure as
+    ``params``) where every parameter's largest still-free dimension is
+    sharded over the data axis on top of its TP spec.
+
+    Jitting the UNCHANGED train step with these as the params' in/out
+    shardings makes XLA all-gather each layer's weights just-in-time for
+    its matmuls and reduce-scatter its gradients — the FSDP dataflow,
+    scheduled by the compiler (prefetch/overlap where profitable)
+    instead of hand-rolled hooks the way torch-FSDP does it.  Moments
+    follow automatically: zero1_state_shardings maps each moment to its
+    parameter's spec, so passing these specs shards the full ZeRO-3
+    trio (params + grads-in-flight + optimizer state)."""
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree_util.tree_unflatten(
+        treedef, [zero_spec(s, p.shape, data_size, axis)
+                  for p, s in zip(flat_p, flat_s)])
 
 
 def param_shardings(params, specs, mesh: Mesh):

@@ -350,3 +350,145 @@ def test_resume_bit_compatible(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(straight),
                     jax.tree_util.tree_leaves(resumed)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_accum_k_matches_mean_grad_step():
+    """optax.MultiSteps accumulation: K update() calls with micro-grads
+    equal ONE inner-optimizer step with their mean — exact at the optax
+    level.  (Model-level bit-parity with a true K*B batch is NOT
+    attainable here: the bf16 backward's cotangents are rounded at
+    1/B-dependent scales, so micro-batch grads differ from big-batch
+    grads by ~bf16 eps, and Adam's first-step sign normalization
+    amplifies that to lr-scale — measured, see git history.)"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.asarray(np.random.default_rng(0)
+                               .random((8, 8), np.float32)),
+              "b": jnp.zeros((8,), jnp.float32)}
+    g = [jax.tree_util.tree_map(
+        lambda x, i=i: jnp.asarray(
+            np.random.default_rng(10 + i).standard_normal(x.shape)
+            .astype(np.float32)), params) for i in range(2)]
+
+    tx_a = detector.make_optimizer(1e-3, accum=2)
+    s_a = tx_a.init(params)
+    p_a = params
+    for gi in g:
+        up, s_a = tx_a.update(gi, s_a, p_a)
+        p_a = optax.apply_updates(p_a, up)
+
+    tx_b = detector.make_optimizer(1e-3)
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *g)
+    up, _ = tx_b.update(gm, tx_b.init(params), params)
+    p_b = optax.apply_updates(params, up)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_accum_end_to_end_trains():
+    """model-level sanity: --accum training converges on the synthetic
+    task like the plain path does."""
+    _, losses = train.train(steps=24, batch=8, lr=3e-3, image_size=16,
+                            width=32, depth=1, heads=2, log_every=0,
+                            cache_samples=64, seed=9, accum=4)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-6:]) < np.mean(losses[:6])
+
+
+def test_warmup_schedule_first_step_is_identity():
+    """warmup starts the LR at 0: the first optimizer step must leave
+    the parameters untouched (AdamW's weight decay also rides the LR)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.make_config("small", image_size=16, width=32,
+                               depth=1, heads=2)
+    params = detector.init_params(jax.random.PRNGKey(4), cfg)
+    opt = detector.make_optimizer(1e-3, steps=10, warmup=4,
+                                  schedule="cosine", grad_clip=1.0)
+    step = jax.jit(detector.make_train_step(cfg, opt))
+    f, y = train.synthetic_batch(np.random.default_rng(6), 4, 16,
+                                 ("blobs",))
+    p1, s1, loss = step(params, opt.init(params), jnp.asarray(f),
+                        jnp.asarray(y))
+    assert np.isfinite(float(loss))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)
+    # ...and by mid-schedule the LR is live: params move
+    p, s = p1, s1
+    for _ in range(4):
+        p, s, _ = step(p, s, jnp.asarray(f), jnp.asarray(y))
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                jax.tree_util.tree_leaves(p)))
+    assert moved > 1e-5
+
+
+def test_grad_clip_bounds_update_norm():
+    """with clip_by_global_norm(c) the pre-Adam grads are rescaled; a
+    pathological high-LR step stays bounded instead of exploding."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = detector.make_config("small", image_size=16, width=32,
+                               depth=1, heads=2)
+    params = detector.init_params(jax.random.PRNGKey(5), cfg)
+    f, y = train.synthetic_batch(np.random.default_rng(7), 8, 16,
+                                 ("blobs",))
+    outs = {}
+    for name, clip in (("clipped", 1e-4), ("raw", 0.0)):
+        opt = detector.make_optimizer(1.0, grad_clip=clip)
+        step = jax.jit(detector.make_train_step(cfg, opt))
+        p, s, _ = step(params, opt.init(params), jnp.asarray(f),
+                       jnp.asarray(y))
+        outs[name] = p
+    # Adam normalizes per-element scale, but the tiny clip floor keeps
+    # the very first moments (and thus the update direction) finite and
+    # different from the raw run — and both stay finite
+    for p in outs.values():
+        assert all(np.isfinite(np.asarray(leaf)).all()
+                   for leaf in jax.tree_util.tree_leaves(p))
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(outs["clipped"]),
+                             jax.tree_util.tree_leaves(outs["raw"]))]
+    assert max(diffs) > 0
+
+
+def test_ema_saved_and_tracks(tmp_path):
+    """--ema keeps a Polyak average: saved to <out>.ema, restored by
+    --resume, and numerically between init and the trained params."""
+    import jax
+
+    import os
+
+    out = str(tmp_path / "ckpt_ema")
+    kw = dict(batch=8, lr=3e-3, image_size=16, width=32, depth=1,
+              heads=2, log_every=0, cache_samples=64, seed=13,
+              families=("blobs",), ema=0.5)
+
+    # killed-after-3 + resume must replay the EMA stream bit-compatibly
+    straight, _ = train.train(steps=6, out=str(tmp_path / "ref"), **kw)
+    ema_straight = detector.load_checkpoint(
+        str(tmp_path / "ref") + ".ema", jax.device_get(straight))
+    train.train(steps=3, out=out, **kw)
+    resumed, _ = train.train(steps=6, out=out, resume=True, **kw)
+    assert os.path.isdir(out + ".ema")
+    ema_resumed = detector.load_checkpoint(out + ".ema",
+                                           jax.device_get(resumed))
+    for a, b in zip(jax.tree_util.tree_leaves(ema_straight),
+                    jax.tree_util.tree_leaves(ema_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # EMA lags the trained params (not identical), and is finite
+    flat_p = jax.tree_util.tree_leaves(jax.device_get(resumed))
+    flat_e = jax.tree_util.tree_leaves(ema_resumed)
+    assert any(np.abs(a - b).max() > 1e-7 for a, b in
+               zip(flat_p, flat_e))
+    assert all(np.isfinite(e).all() for e in flat_e)

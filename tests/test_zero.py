@@ -121,3 +121,79 @@ def test_train_entrypoint_zero1():
         steps=3, batch=8, lr=1e-3, image_size=32, width=64, depth=2,
         heads=2, log_every=0, cache_samples=0, zero1=True)
     assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_fsdp_param_specs_extend_tp():
+    mesh, cfg, params, specs, opt = _setup()
+    fspecs = zero.fsdp_param_specs(params, specs, mesh.shape["data"])
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_leaves(
+        fspecs, is_leaf=lambda x: isinstance(x, P))
+    n_data = 0
+    for (path, leaf), spec in zip(flat_p, flat_s):
+        if "data" in tuple(spec):
+            n_data += 1
+            # the data axis landed on a dim that divides evenly
+            dim = tuple(spec).index("data")
+            assert leaf.shape[dim] % mesh.shape["data"] == 0
+    assert n_data >= 6  # qkv/proj/mlp weights in both layers
+
+
+def test_fsdp_step_matches_plain_path():
+    """ZeRO-3/FSDP: parameters sharded over the data axis, trained with
+    the UNCHANGED step under pinned shardings — identical loss/params to
+    the replicated path."""
+    mesh, cfg, params, specs, opt = _setup(seed=2)
+    step = detector.make_train_step(cfg, opt, sharded=True)
+    fspecs = zero.fsdp_param_specs(params, specs, mesh.shape["data"])
+
+    p_a = mesh_mod.shard_params(mesh, params, specs)
+    s_a = opt.init(p_a)
+    plain = jax.jit(step)
+
+    p_b = mesh_mod.shard_params(mesh, params, fspecs)
+    s_b = zero.shard_opt_state(opt.init(p_b), p_b, fspecs, mesh)
+    fsdp_step = zero.zero1_jit_train_step(step, p_b, s_b, fspecs, mesh)
+
+    rng = np.random.default_rng(11)
+    bs = mesh_mod.batch_sharding(mesh)
+    with mesh:
+        for _ in range(2):
+            frames, labels = synthetic_batch(rng, 8, cfg.image_size,
+                                             ("blobs",))
+            fb = jax.device_put(jnp.asarray(frames), bs)
+            lb = jax.device_put(jnp.asarray(labels), bs)
+            p_a, s_a, loss_a = plain(p_a, s_a, fb, lb)
+            p_b, s_b, loss_b = fsdp_step(p_b, s_b, fb, lb)
+            # FSDP reshapes the forward's weight layout -> bf16-level
+            # loss noise (the repo's standard 2e-2 resharding budget;
+            # observed 1.6e-3 on the 4-device dryrun mesh)
+            np.testing.assert_allclose(float(loss_a), float(loss_b),
+                                       atol=2e-2)
+
+    # the params REALLY live sharded: a weight's addressable shard is a
+    # fraction of the global array
+    found = False
+    for leaf in jax.tree_util.tree_leaves(p_b):
+        if getattr(leaf, "ndim", 0) == 2 and "data" in tuple(
+                leaf.sharding.spec or ()):
+            assert leaf.addressable_shards[0].data.size < leaf.size
+            found = True
+            break
+    assert found
+
+    # Adam sign-normalizes first-step updates, so bf16 grad noise from
+    # the layout change moves params by up to ~lr per element
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p_a)),
+                    jax.tree_util.tree_leaves(jax.device_get(p_b))):
+        np.testing.assert_allclose(a, b, atol=6e-3)
+
+
+def test_train_entrypoint_fsdp_accum():
+    """CLI path: --fsdp composed with --accum and a cosine schedule."""
+    from avd_tpu.models import train as train_mod
+    params, losses = train_mod.train(
+        steps=4, batch=8, lr=1e-3, image_size=32, width=64, depth=2,
+        heads=2, log_every=0, cache_samples=0, fsdp=True, accum=2,
+        schedule="cosine", warmup=1, grad_clip=1.0, ema=0.9)
+    assert len(losses) == 4 and np.isfinite(losses).all()
