@@ -485,6 +485,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         if logit_l2:
             raise ValueError("--logit-l2 is not plumbed through the "
                              "pipelined loss; use the dp/tp path")
+        if zero1 or fsdp:
+            raise ValueError("--zero1/--fsdp ride the dp/tp step; "
+                             "the GPipe path already shards the layer "
+                             "stack (and its optimizer state) over "
+                             "'stage'")
         sharded = True
         opt_state = optimizer.init(params)
         step_fn = jax.jit(detector.make_pp_train_step(cfg, optimizer,

@@ -95,6 +95,21 @@ VARIANTS_P5 = (
     ("crf+35-frac.75", None, 3, 0.75, 2e-2, (18, 23, 28, 35)),
 )
 
+# Pass 6 (round-4 continuation): do the new production trainer controls
+# (make_optimizer warmup+cosine, parameter EMA) move the shipped
+# recipe's transfer?  Each variant = the shipped recipe (3 families,
+# aug-codec 0.5 @ CRF<=28, logit-L2 2e-2, 3x steps) plus trainer-control
+# deltas; 'eval_ema' additionally evaluates the Polyak average.  Compare
+# against pass 5's control row (same seed/recipe: unseen 0.885/0.986).
+VARIANTS_P6 = (
+    # name, train-kwargs delta, eval_ema
+    ("shipped+cosine", dict(schedule="cosine", warmup=300), False),
+    ("shipped+ema.999", dict(ema=0.999), True),
+    ("shipped+ema.99", dict(ema=0.99), True),
+    ("shipped+cosine+ema.999",
+     dict(schedule="cosine", warmup=300, ema=0.999), True),
+)
+
 
 def unseen_stats(params, cfg, n: int, seed: int = 999):
     """(acc, auc, logit mean/std per class) on the held-out family."""
@@ -153,6 +168,22 @@ def codec_stats(params, cfg, n: int, crf: int, families,
     return _acc_auc(1.0 / (1.0 + np.exp(-np.clip(z, -60, 60))), y)
 
 
+def _print_table(results) -> None:
+    print("\n| variant | unseen acc | unseen AUC | seen acc | "
+          "cam z | ai z |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        cz, az = r["unseen_logits"]["cam_logit"], \
+            r["unseen_logits"]["ai_logit"]
+        extra = (f" crf35 {r['crf35_acc']:.3f}/{r['crf35_auc']:.3f}"
+                 f" crf45 {r['crf45_acc']:.3f}/{r['crf45_auc']:.3f}"
+                 if "crf35_acc" in r else "")
+        print(f"| {r['variant']} | {r['unseen_acc']:.3f} "
+              f"| {r['unseen_auc']:.3f} | {r['seen_acc']:.3f} "
+              f"| {cz[0]:+.2f}±{cz[1]:.2f} | {az[0]:+.2f}±{az[1]:.2f} |"
+              + extra)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--steps", type=int, default=2000)
@@ -173,6 +204,10 @@ def main() -> int:
     ap.add_argument("--pass5", action="store_true",
                     help="run the VARIANTS_P5 grid (training-CRF band "
                          "extension vs CRF-35 robustness)")
+    ap.add_argument("--pass6", action="store_true",
+                    help="run the VARIANTS_P6 grid (trainer controls: "
+                         "cosine schedule / parameter EMA on the "
+                         "shipped recipe)")
     args = ap.parse_args()
 
     from avd_tpu.models import detector
@@ -180,6 +215,43 @@ def main() -> int:
 
     cfg = detector.make_config("small")  # matches train()'s defaults
     results = []
+    if args.pass6:
+        import tempfile
+
+        import jax
+
+        for name, delta, eval_ema in VARIANTS_P6:
+            fams = tuple(train_mod.TRAIN_FAMILIES)
+            t0 = time.time()
+            out = (tempfile.mkdtemp(prefix="p6_") + "/ck"
+                   if eval_ema else None)
+            params, losses = train_mod.train(
+                steps=args.steps * 3, batch=args.batch, lr=3e-4,
+                image_size=64, log_every=200, seed=args.seed,
+                families=fams, aug_codec=0.5, logit_l2=2e-2,
+                out=out, **delta)
+            evals = {"final": params}
+            if eval_ema:
+                evals["ema"] = detector.load_checkpoint(
+                    out + ".ema", jax.device_get(params))
+            for kind, p in evals.items():
+                seen_acc, seen_auc = train_mod.evaluate(
+                    p, cfg, n=256, families=fams)
+                acc, auc, zstats = unseen_stats(p, cfg, args.n)
+                row = {"variant": f"{name}[{kind}]", "delta": repr(delta),
+                       "steps": args.steps * 3,
+                       "unseen_acc": acc, "unseen_auc": auc,
+                       "seen_acc": seen_acc, "seen_auc": seen_auc,
+                       "unseen_logits": zstats,
+                       "final_loss": losses[-1],
+                       "train_s": time.time() - t0}
+                results.append(row)
+                print(json.dumps(row), flush=True)
+        _print_table(results)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+        return 0
     variants = (VARIANTS_P5 if args.pass5
                 else VARIANTS_P4 if args.pass4
                 else VARIANTS_P3 if args.pass3
@@ -212,19 +284,7 @@ def main() -> int:
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| variant | unseen acc | unseen AUC | seen acc | "
-          "cam z | ai z |")
-    print("|---|---|---|---|---|---|")
-    for r in results:
-        cz, az = r["unseen_logits"]["cam_logit"], \
-            r["unseen_logits"]["ai_logit"]
-        extra = (f" crf35 {r['crf35_acc']:.3f}/{r['crf35_auc']:.3f}"
-                 f" crf45 {r['crf45_acc']:.3f}/{r['crf45_auc']:.3f}"
-                 if "crf35_acc" in r else "")
-        print(f"| {r['variant']} | {r['unseen_acc']:.3f} "
-              f"| {r['unseen_auc']:.3f} | {r['seen_acc']:.3f} "
-              f"| {cz[0]:+.2f}±{cz[1]:.2f} | {az[0]:+.2f}±{az[1]:.2f} |"
-              + extra)
+    _print_table(results)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
