@@ -134,6 +134,17 @@ def _bundle():
     from avd_tpu.utils import jaxtools
     jaxtools.setup()
 
+    exported = os.getenv("AVD_DETECTOR_EXPORTED")
+    if exported:
+        # AOT deployment artifact (models/export.py): the serving
+        # computation was lowered ahead of time with weights +
+        # calibration embedded; no model code or checkpoint IO runs
+        # here.  Takes precedence over every build-a-model knob below
+        # (arch/preset/ckpt/quant/fused-attn are baked into the
+        # artifact); serves single-chip.
+        from avd_tpu.models import export as export_mod
+        return export_mod.load_bundle(exported)
+
     arch = _arch()
     detector = models.family(arch)
     preset = os.getenv("AVD_DETECTOR_PRESET", _default_preset(arch))
@@ -329,6 +340,21 @@ def _score_prepped(batch: np.ndarray) -> dict:
             p = np.asarray(probs_fn(params, jnp.asarray(chunk),
                                     jnp.int32(k)))[:k]
             outs.append(p)
+        return {"timeline": [float(x) for x in np.concatenate(outs)],
+                "weights": source}
+    fixed = getattr(probs_fn, "fixed_batch", None)
+    if fixed:
+        # AOT-exported per-frame program: ONE lowered batch shape.
+        # Chunk and pad — scores are per-frame, so grouping is
+        # numerics-neutral (same property the streaming slabs rely on).
+        outs = []
+        for s in range(0, batch.shape[0], fixed):
+            chunk = batch[s:s + fixed]
+            k = chunk.shape[0]
+            if k < fixed:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], fixed - k, axis=0)])
+            outs.append(np.asarray(probs_fn(params, jnp.asarray(chunk)))[:k])
         return {"timeline": [float(x) for x in np.concatenate(outs)],
                 "weights": source}
     # pad to a power-of-two bucket for stable compile shapes (and to a
