@@ -632,7 +632,10 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         with open(os.path.join(out, "train_meta.json"), "w") as f:
             json.dump({"arch": arch, "families": list(families),
                        "steps": at_step, "batch": batch, "lr": lr,
-                       "image_size": image_size, "seed": seed,
+                       "image_size": image_size, "width": width,
+                       "depth": depth, "heads": heads,
+                       "experts": experts, "seq_len": seq_len,
+                       "seed": seed,
                        "aug_codec": aug_codec, "logit_l2": logit_l2,
                        "aug_crfs": list(aug_crfs),
                        "warmup": warmup, "schedule": schedule,
