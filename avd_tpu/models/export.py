@@ -185,3 +185,42 @@ def load_bundle(out_dir: str):
         probs.fixed_batch = int(manifest["batch"])
 
     return cfg, None, probs, source, 1
+
+
+def main(argv=None) -> int:
+    """CLI: export a checkpoint to an AOT serving artifact
+    (``avd-export`` console script / ``python -m avd_tpu.models.export``).
+    Runs fine on a CPU-only host — artifacts are multi-platform; serve
+    with ``AVD_DETECTOR_EXPORTED=<out> AVD_DETECTOR=1``."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Export a detector checkpoint to a self-contained "
+                    "AOT serving artifact (jax.export)")
+    ap.add_argument("--out", required=True, help="artifact directory")
+    ap.add_argument("--arch", default="vit",
+                    choices=("vit", "cnn", "temporal"))
+    ap.add_argument("--preset", default=None,
+                    help="family preset (default: serving default)")
+    ap.add_argument("--ckpt", default="auto",
+                    help="checkpoint dir, 'auto' (shipped default), or "
+                         "'none' for random init")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="lowered batch shape (per-frame families)")
+    ap.add_argument("--window", type=int, default=32,
+                    help="lowered scoring window (temporal family)")
+    ap.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering platforms")
+    args = ap.parse_args(argv)
+
+    manifest = export_detector(
+        args.out, arch=args.arch, preset=args.preset,
+        ckpt=None if args.ckpt == "none" else args.ckpt,
+        batch=args.batch, window=args.window,
+        platforms=tuple(p.strip() for p in args.platforms.split(",") if p))
+    print(json.dumps(manifest, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
