@@ -5,7 +5,11 @@ Measures frames/sec with resident device data (best-of-N), for each
 requested family × precision:
 
     python tools/bench_detector.py [vit vit-int8 cnn cnn-int8 temporal]
-        [--batch 64]
+        [vit-exported ...] [--batch 64]
+
+``<arch>-exported`` exports the same full-preset program to an AOT
+artifact (models/export.py), deserializes it, and benches the served
+program — the jax.export round trip should be throughput-neutral.
 
 and reports the analytic FLOPs/frame (XLA's own cost analysis of the
 compiled program — exact for the HLO that actually runs) plus MFU
@@ -59,6 +63,37 @@ def bench(config: str, batch: int):
     arch = config.split("-")[0]
     fam = models.family(arch)
     cfg = fam.make_config("full")
+    if config.endswith("-exported"):
+        # AOT artifact A/B (models/export.py): same full-preset program,
+        # exported for THIS backend, deserialized and served — measures
+        # whether jax.export round-tripping costs any throughput vs the
+        # live jit path.
+        import tempfile
+
+        from avd_tpu.models import export as export_mod
+        d = tempfile.mkdtemp(prefix="avd_export_bench_")
+        export_mod.export_detector(
+            d, arch=arch, preset="full", ckpt=None, batch=batch,
+            window=batch, platforms=(jax.default_backend(),))
+        _, _, probs, _, _ = export_mod.load_bundle(d)
+        if arch == "temporal":
+            n = jnp.int32(batch)
+            fwd = jax.jit(lambda p, x: probs(p, x, n))
+        else:
+            fwd = jax.jit(lambda p, x: probs(p, x))
+        x = jnp.asarray(np.random.default_rng(0).random(
+            (batch, cfg.image_size, cfg.image_size, 3), np.float32))
+        flops = _flops_of(fwd, None, x)
+        float(np.asarray(fwd(None, x))[0])  # compile + warm
+        best = float("inf")
+        for _ in range(REPS):
+            t = time.perf_counter()
+            for _ in range(CHAIN):
+                out = fwd(None, x)
+            float(np.asarray(out)[0])  # force completion (axon)
+            best = min(best, (time.perf_counter() - t) / CHAIN)
+        fps = batch / best
+        return fps, flops / batch, (flops / batch) * fps / PEAK_BF16
     if config.endswith("-fused"):
         # fused Pallas attention A/B (ops/pallas/attention.py)
         import dataclasses
