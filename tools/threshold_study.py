@@ -208,6 +208,16 @@ def main() -> int:
                     help="run the VARIANTS_P6 grid (trainer controls: "
                          "cosine schedule / parameter EMA on the "
                          "shipped recipe)")
+    ap.add_argument("--confirm", action="store_true",
+                    help="cross-seed control-vs-cosine confirmation of "
+                         "the pass-6 winner (grid shipped in "
+                         "docs/studies/threshold_p6_confirm.json: the "
+                         "constant-LR control COLLAPSES below chance at "
+                         "seed 2 — unseen AUC 0.40 — while cosine stays "
+                         "0.88-0.95 across seeds; cosine is a "
+                         "variance/collapse fix, not a mean shift)")
+    ap.add_argument("--seeds", default="2,3",
+                    help="comma-separated seeds for --confirm")
     args = ap.parse_args()
 
     from avd_tpu.models import detector
@@ -215,6 +225,29 @@ def main() -> int:
 
     cfg = detector.make_config("small")  # matches train()'s defaults
     results = []
+    if args.confirm:
+        for seed in (int(s) for s in args.seeds.split(",") if s):
+            for name, delta in (
+                    ("control", {}),
+                    ("cosine", dict(schedule="cosine", warmup=300))):
+                t0 = time.time()
+                params, losses = train_mod.train(
+                    steps=args.steps * 3, batch=args.batch, lr=3e-4,
+                    image_size=64, log_every=0, seed=seed,
+                    families=tuple(train_mod.TRAIN_FAMILIES),
+                    aug_codec=0.5, logit_l2=2e-2, **delta)
+                acc, auc, zstats = unseen_stats(params, cfg, args.n)
+                row = {"seed": seed, "variant": name,
+                       "unseen_acc": acc, "unseen_auc": auc,
+                       "cam_z": zstats["cam_logit"],
+                       "ai_z": zstats["ai_logit"],
+                       "train_s": time.time() - t0}
+                results.append(row)
+                print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+        return 0
     if args.pass6:
         import tempfile
 
