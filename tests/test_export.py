@@ -136,6 +136,59 @@ def test_tampered_artifact_fails_loudly(tmp_path):
         export_mod.load_bundle(out)
 
 
+def test_http_serving_from_artifact(tmp_path, monkeypatch):
+    """The live HTTP surface serves detector scores from the artifact:
+    AVD_DETECTOR_EXPORTED plumbs through build_app → pipeline →
+    analyzer → scoring, and the envelope's detector block carries the
+    exported provenance tag."""
+    import http.client
+    import threading
+
+    from avd_tpu import config as config_mod
+    from avd_tpu.serve import app as app_mod
+    from avd_tpu.serve import http as http_mod
+    from tests import fixtures
+
+    out = str(tmp_path / "artifact")
+    export_mod.export_detector(out, arch="vit", preset="small", ckpt=None,
+                               batch=4, platforms=("cpu",),
+                               config_overrides=TINY_VIT)
+
+    monkeypatch.setenv("AVD_BACKEND", "oracle")
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_EXPORTED", out)
+    config_mod.reset_config()
+    scoring._bundle.cache_clear()
+    srv = http_mod.make_server(app_mod.build_app(), "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        clip = fixtures.noise_clip(10, 64)
+        path = fixtures.write_video(tmp_path / "clip.mp4", clip, fps=30.0)
+        with open(path, "rb") as f:
+            payload = f.read()
+        boundary = "avdexportboundary"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f"name=\"file\"; filename=\"clip.mp4\"\r\n"
+                f"Content-Type: application/octet-stream\r\n\r\n"
+                ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/analyze", body=body, headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}",
+            "Content-Length": str(len(body))})
+        r = conn.getresponse()
+        env = json.loads(r.read())
+        conn.close()
+        assert r.status == 200
+        det = env["video"].get("detector")
+        assert det and det["weights"].startswith("exported:")
+        assert len(det["timeline"]) > 0
+    finally:
+        srv.shutdown()
+        config_mod.reset_config()
+        scoring._bundle.cache_clear()
+
+
 def test_scoring_serves_from_artifact(tmp_path, monkeypatch):
     """AVD_DETECTOR_EXPORTED serves the artifact end-to-end through
     detector_timeline — including the chunk-and-pad path for clip
