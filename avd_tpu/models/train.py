@@ -187,16 +187,80 @@ def _frame_cellular(rng: np.random.Generator, size: int, ai_like: bool):
     return img
 
 
+def _frame_waves(rng: np.random.Generator, size: int, ai_like: bool):
+    """Family E (round 4, EVAL-ONLY second held-out family — never in
+    TRAIN_FAMILIES).  The threshold-transfer recipe (3 families +
+    codec aug + logit-L2, BASELINE.md round 4) was selected against ONE
+    held-out family (texture); this family exists to measure whether
+    that selection overfit the holdout.  Scenes: superposed smooth 2-D
+    sinusoids + a radial ripple (interference patterns) — distinct from
+    blob bumps, hard edges, value noise, and Voronoi cells.  Both cue
+    parameterizations are new to the registry:
+
+    * AI cue = SPECTRAL band-limiting (soft raised-cosine FFT low-pass —
+      the band-limited output of a decoder, a different smoothing
+      operator than Gaussian/box/checkerboard-NN/posterize) + near-zero
+      noise;
+    * camera cue = crisp detail + MULTIPLICATIVE speckle (gain noise)
+      + additive HIGH-PASS noise (white minus its own smoothing) —
+      no blur anywhere in the camera branch (the pass-1/2 lesson:
+      blurred camera frames teach the inverse meta-cue and the
+      inversion transfers; see _frame_cellular)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base = np.zeros((size, size), np.float32)
+    for _ in range(rng.integers(3, 6)):
+        a, b = rng.normal(0, 8, 2)
+        base += (0.5 + 0.5 * np.sin(a * xx + b * yy
+                                    + rng.random() * 6.28)) \
+            * (0.3 + 0.7 * rng.random())
+    cx, cy = rng.random(2)
+    r = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    base += 0.5 + 0.5 * np.sin(r * rng.uniform(15, 40)
+                               + rng.random() * 6.28)
+    base /= max(1e-6, base.max())
+    mix = 0.4 + 0.6 * rng.random((1, 1, 3)).astype(np.float32)
+    img = np.clip(base[..., None] * mix
+                  + 0.15 * rng.random(3).astype(np.float32), 0, 1)
+    if ai_like:
+        # band-limit: soft raised-cosine low-pass in the frequency
+        # domain (rolls off between f0 and f1 of Nyquist)
+        f0 = 0.12 + 0.20 * rng.random()
+        f1 = f0 + 0.10 + 0.15 * rng.random()
+        fy = np.fft.fftfreq(size)[:, None]
+        fx = np.fft.rfftfreq(size)[None, :]
+        fr = np.sqrt(fy ** 2 + fx ** 2) / 0.5  # fraction of Nyquist
+        mask = np.clip((f1 - fr) / max(1e-6, f1 - f0), 0.0, 1.0)
+        mask = 0.5 - 0.5 * np.cos(np.pi * mask)  # raised cosine
+        for c in range(3):
+            spec = np.fft.rfft2(img[..., c]) * mask
+            img[..., c] = np.fft.irfft2(spec, s=(size, size))
+        img = np.clip(img * (1.0 + 0.08 * rng.random()), 0, 1)
+        img += rng.normal(0, 0.004, img.shape).astype(np.float32)
+    else:
+        detail = rng.random((size, size, 3)).astype(np.float32)
+        img = np.clip(img * (0.85 + 0.15 * detail) + 0.10 * detail, 0, 1)
+        # multiplicative speckle (gain noise)
+        img *= (1.0 + rng.normal(0, 0.02 + 0.02 * rng.random(),
+                                 img.shape).astype(np.float32))
+        # additive high-pass noise: white minus its own smoothing
+        w = rng.standard_normal(img.shape).astype(np.float32)
+        img += (0.010 + 0.015 * rng.random()) * (w - _smooth(w, 1.5))
+    return img
+
+
 # Procedural generator families (labels 1 = AI-like in all of them).
 # Default TRAINING uses blobs+geometric+cellular; texture stays HELD OUT
 # as the unseen-family transfer eval (tools/eval_detector.py,
 # BASELINE.md) — the same held-out family since round 3, so transfer
-# numbers remain comparable across rounds.
+# numbers remain comparable across rounds.  waves is the EVAL-ONLY
+# second holdout (never trained on by any shipped recipe): it checks
+# that the transfer recipe wasn't overfit to the texture holdout.
 GENERATOR_FAMILIES = {
     "blobs": _frame_blobs,
     "geometric": _frame_geometric,
     "texture": _frame_texture,
     "cellular": _frame_cellular,
+    "waves": _frame_waves,
 }
 TRAIN_FAMILIES = ("blobs", "geometric", "cellular")
 HELDOUT_FAMILY = "texture"

@@ -149,6 +149,13 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
                                       TRAIN_FAMILIES, _acc_auc,
                                       synthetic_batch)
 
+    # codec/JPEG sweeps keep the round-4 composition (3 training
+    # families + the texture holdout, in registry order) so sweep
+    # numbers stay comparable across rounds; 'waves' (the round-4
+    # second holdout) gets its own per-family row but does not shift
+    # the sweep mixture.
+    sweep_families = ("blobs", "geometric", "texture", "cellular")
+
     fam_mod = models.family(arch)
     cfg = fam_mod.make_config(preset)
     params = fam_mod.init_params(jax.random.PRNGKey(0), cfg)
@@ -209,7 +216,7 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
         if have_codec and h264_crfs:
             tbl = {}
             for crf in h264_crfs:
-                z, y = run(tuple(GENERATOR_FAMILIES),
+                z, y = run(sweep_families,
                            transform=lambda f, crf=crf:
                            codec_mod.roundtrip_sequences(
                                f, codec="libx264", crf=crf))
@@ -303,7 +310,7 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
     if have_codec and h264_crfs:
         tbl = {}
         for crf in h264_crfs:
-            z, y = run(tuple(GENERATOR_FAMILIES),
+            z, y = run(sweep_families,
                        transform=_codec_transform(crf, seed=seed + 3))
             tbl[crf] = _acc_auc(_sigmoid(z), y)
         sweeps["h264 CRF"] = tbl
@@ -312,7 +319,7 @@ def eval_checkpoint(arch: str = "vit", preset: str = "small",
             import cv2  # noqa: F401
             tbl = {}
             for q in jpeg_qualities:
-                z, y = run(tuple(GENERATOR_FAMILIES),
+                z, y = run(sweep_families,
                            transform=lambda f, q=q: _jpeg_roundtrip(f, q))
                 tbl[q] = _acc_auc(_sigmoid(z), y)
             sweeps["JPEG q"] = tbl
