@@ -42,6 +42,25 @@ class _ExportedConfig:
     image_size: int
 
 
+def _ckpt_temperature(ckpt: Optional[str]) -> float:
+    """Checkpoint-owned calibration temperature, env-independent.
+
+    Exports must bake the checkpoint's ``calibration.json`` — NOT
+    ``scoring._temperature``'s ``AVD_DETECTOR_TEMP`` env override: a
+    serve-time knob left set in the exporting shell would otherwise be
+    permanently frozen into the artifact with nothing in the manifest
+    flagging the divergence."""
+    if ckpt:
+        try:
+            with open(os.path.join(ckpt, "calibration.json")) as f:
+                t = float(json.load(f)["temperature"])
+            if t > 0:
+                return t
+        except (OSError, ValueError, KeyError):
+            pass
+    return 1.0
+
+
 def _build(arch: str, preset: Optional[str], ckpt: Optional[str],
            config_overrides: Optional[dict] = None):
     """Replicate scoring._bundle's model construction without env state.
@@ -63,7 +82,14 @@ def _build(arch: str, preset: Optional[str], ckpt: Optional[str],
     if ckpt:
         params = detector.load_checkpoint(ckpt, params)
         source = ckpt
-    temp = scoring._temperature(ckpt)
+    temp = _ckpt_temperature(ckpt)
+    if os.getenv("AVD_DETECTOR_TEMP"):
+        import warnings
+        warnings.warn(
+            f"AVD_DETECTOR_TEMP={os.environ['AVD_DETECTOR_TEMP']!r} is set "
+            f"but IGNORED by export — artifacts bake the checkpoint's own "
+            f"calibration (T={temp}); set it on the serving side instead",
+            stacklevel=2)
     return detector, cfg, preset, params, temp, source
 
 

@@ -50,11 +50,11 @@ from jax.sharding import PartitionSpec as P
 from avd_tpu.models.detector import (  # shared family helpers
     _bce,
     _ln,
-    load_checkpoint,
     make_optimizer,
     patchify,
     save_checkpoint,
 )
+from avd_tpu.models.detector import load_checkpoint as _load_checkpoint
 
 __all__ = [
     "TemporalConfig", "Config", "PRESETS", "make_config", "init_params",
@@ -182,6 +182,39 @@ def init_params(key: jax.Array, cfg: TemporalConfig) -> Dict[str, Any]:
         params["layers"].append(
             _init_block(jax.random.split(k[3 + i], 4), d, cfg.mlp_width))
     return params
+
+
+def load_checkpoint(path: str, like):
+    """Template-guarded checkpoint restore for the temporal family.
+
+    Round 4 changed the temporal parameter template (frame_depth 2 → 4
+    plus the ``aux_w``/``aux_b`` per-frame trunk head — see
+    ``TemporalConfig.aux_frame_loss``); pre-round-4 checkpoints no
+    longer match the restore template, and a bare orbax restore
+    surfaces that as a raw tree-structure stack trace.  Probe for that
+    exact legacy shape on failure and raise a one-line, actionable
+    error instead (VERDICT r4 #7)."""
+    try:
+        return _load_checkpoint(path, like)
+    except Exception as err:
+        if isinstance(like, dict) and "aux_w" in like \
+                and len(like.get("frame_layers", ())) > 2:
+            legacy = {kk: vv for kk, vv in like.items()
+                      if kk not in ("aux_w", "aux_b")}
+            legacy["frame_layers"] = like["frame_layers"][:2]
+            try:
+                _load_checkpoint(path, legacy)
+            except Exception:
+                raise err
+            raise ValueError(
+                f"{path} holds a pre-round-4 temporal checkpoint "
+                "(template v1: frame_depth 2, no aux per-frame head). "
+                "The round-4 transfer fix changed the template "
+                "(frame_depth 4 + aux_w/aux_b — models/temporal.py); "
+                "retrain it with `python -m avd_tpu.models.train --arch "
+                "temporal`, or serve it with a pre-round-4 build."
+            ) from None
+        raise
 
 
 def _time_encoding(t0: jnp.ndarray, n: int, d: int) -> jnp.ndarray:

@@ -606,14 +606,26 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
     _resume_ema = None
     if resume:
         # restore optimizer state + step counter on the host; the first
-        # step_fn call re-places them (matching params' shardings)
+        # step_fn call re-places them (matching params' shardings).
+        # The saved state may or may not carry an 'ema' stream (the run
+        # being resumed may have used a different --ema flag) — probe
+        # both template shapes instead of surfacing a raw orbax
+        # tree-structure error on the mismatch.
         tmpl = {"step": 0, "opt_state": opt_state}
-        if ema > 0:
-            tmpl["ema"] = params  # same tree shape; values overwritten
-        st = detector.load_checkpoint(state_path, jax.device_get(tmpl))
+        try:
+            st = detector.load_checkpoint(
+                state_path, jax.device_get({**tmpl, "ema": params}))
+        except Exception:
+            st = detector.load_checkpoint(state_path, jax.device_get(tmpl))
         opt_state = st["opt_state"]
         start_step = int(st["step"])
         _resume_ema = st.get("ema")
+        if ema > 0 and _resume_ema is None:
+            print("warning: saved train state has no EMA stream — "
+                  "re-seeding the EMA from the restored params", flush=True)
+        if ema <= 0 and _resume_ema is not None:
+            print("note: saved EMA stream preserved (frozen) — pass --ema "
+                  "to keep updating it", flush=True)
         print(f"resumed at step {start_step} from {state_path}", flush=True)
 
     rng = np.random.default_rng(seed)
@@ -688,6 +700,11 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
             state["ema"] = ema_params
             detector.save_checkpoint(out + ".ema",
                                      jax.device_get(ema_params))
+        elif _resume_ema is not None:
+            # resumed a run that carried an EMA stream but --ema is off
+            # this time: preserve the stream (frozen) instead of
+            # silently dropping it from the saved state
+            state["ema"] = _resume_ema
         detector.save_checkpoint(state_path, jax.device_get(state))
         # training provenance beside the weights: what produced this
         # checkpoint (tests and evals read `families` instead of
@@ -742,7 +759,12 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                     fb = jax.device_put(fb, bs)
                     lb = jax.device_put(lb, bs)
             params, opt_state, loss = step_fn(params, opt_state, fb, lb)
-            if ema_params is not None:
+            if ema_params is not None and (step + 1) % accum == 0:
+                # with --accum K, optax.MultiSteps only applies the inner
+                # optimizer every K loop iterations (params are frozen in
+                # between) — decay the Polyak average once per ACTUAL
+                # update, not K times, so --ema keeps its documented
+                # per-optimizer-step semantics
                 ema_params = ema_fn(ema_params, params)
             losses.append(float(loss))
             if log_every and step % log_every == 0:

@@ -73,9 +73,12 @@ def make_frames(n: int) -> np.ndarray:
     return frames
 
 
-def bench_tpu(frames: np.ndarray) -> float:
+def bench_tpu(frames: np.ndarray) -> list:
     """Steady-state streaming throughput: decode-sized chunks flow through
-    host prep + async device dispatch (the serving configuration)."""
+    host prep + async device dispatch (the serving configuration).
+    Returns the per-rep fps list (headline = best; median and spread are
+    emitted next to it so the recorded number carries its own noise bar
+    — VERDICT r4 #2)."""
     from avd_tpu.ops import video_features
 
     def chunks():
@@ -83,12 +86,38 @@ def bench_tpu(frames: np.ndarray) -> float:
             yield frames[i:i + DECODE_CHUNK]
 
     video_features.compute_features_streaming(chunks())  # compile + warm
-    best = float("inf")
+    fps = []
     for _ in range(REPS):
         t = time.perf_counter()
         video_features.compute_features_streaming(chunks())
+        fps.append(len(frames) / (time.perf_counter() - t))
+    return fps
+
+
+def bench_device_resident(frames: np.ndarray) -> float:
+    """Device-stage fps with the packed window already RESIDENT in HBM —
+    isolates the jitted feature program from the tunnel put, so a noisy
+    headline can be attributed (host/tunnel vs device) from the bench
+    JSON alone.  Uses the production 49-frame prep program."""
+    import jax
+    import jax.numpy as jnp
+
+    from avd_tpu.ops import video_features as vf
+
+    n = min(49, len(frames))
+    s320, s32, _ = vf._host_prep(frames[:n])
+    fn = vf._compiled_prep_packed(n, False)
+    dev = jax.device_put(jnp.asarray(vf._pack_prep_window(s320, s32)))
+    float(np.asarray(fn(dev))[0])  # compile + warm (axon: scalar fetch)
+    chain = 8
+    best = float("inf")
+    for _ in range(REPS):
+        t = time.perf_counter()
+        for _ in range(chain):
+            out = fn(dev)
+        float(np.asarray(out)[0])  # force completion
         best = min(best, time.perf_counter() - t)
-    return len(frames) / best
+    return n * chain / best
 
 
 def bench_cpu(frames: np.ndarray) -> float:
@@ -150,8 +179,17 @@ def main() -> int:
     if os.getenv("AVD_BENCH_MODE") == "latency":
         print(json.dumps(bench_latency()))
         return 0
+    import statistics
+
     frames = make_frames(N_FRAMES)
-    tpu_fps = bench_tpu(frames)
+    fps_reps = bench_tpu(frames)
+    tpu_fps = max(fps_reps)
+    try:
+        device_fps = (bench_device_resident(frames)
+                      if os.getenv("AVD_BENCH_DEVICE_STAGE", "1") != "0"
+                      else 0.0)
+    except Exception:
+        device_fps = 0.0
     cpu_fps = bench_cpu(frames[:CPU_FRAMES])
     out = {
         "metric": ("video_forensics_frames_per_sec_"
@@ -160,6 +198,14 @@ def main() -> int:
         "unit": "frames/sec/chip",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "cpu_fps": round(cpu_fps, 2),
+        # noise bar (VERDICT r4 #2): the headline stays best-of-N for
+        # round-over-round comparability; median+spread say how much the
+        # shared-host tenant noise moved this capture, and the
+        # device-resident fps attributes a drop (tunnel/host vs device)
+        "tpu_fps_reps": [round(f, 1) for f in fps_reps],
+        "tpu_fps_median": round(statistics.median(fps_reps), 2),
+        "tpu_fps_spread": round(max(fps_reps) - min(fps_reps), 2),
+        "device_stage_fps": round(device_fps, 1),
     }
     print(json.dumps(out))
     return 0

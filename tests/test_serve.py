@@ -582,3 +582,87 @@ def test_admission_gate_sheds_503(monkeypatch):
         release.set()
         srv.shutdown()
         config_mod.reset_config()
+
+
+def test_partial_ai_localization_served(tmp_path, monkeypatch):
+    """BASELINE.json config #4 pinned at the API surface: a spliced
+    real→AI clip served with the shipped temporal detector must carry a
+    response whose detector timeline LOCALIZES the spliced span (IoU
+    floor vs the known splice point) and whose fused timeline/peaks
+    rise on it (VERDICT r4 missing #3).  Offline splice-IoU eval lives
+    in tools/eval_detector.py; this asserts the same behavior through
+    /analyze's JSON."""
+    from avd_tpu.models import scoring
+    from avd_tpu.models import train as train_mod
+
+    # 64 camera-like frames, then AI-like from frame 20 (NOT aligned to
+    # the 32-frame scoring window, so window 1 is mixed) — blobs family,
+    # the curriculum the shipped temporal_small ckpt trains on.  The
+    # splice sits inside the first `duration` sampled frames because the
+    # reference's timeline is one entry per SECOND with truncation
+    # (video.py:73-81): at 2 fps sampling only the first half of the
+    # sampled frames survives into the fused timeline.
+    rng = np.random.default_rng(11)
+    size, n, splice = 64, 64, 20
+    frames = np.stack([
+        np.clip(train_mod._frame_blobs(rng, size, ai_like=(i >= splice)),
+                0, 1) for i in range(n)])
+    clip = (frames * 255).astype(np.uint8)[..., ::-1]  # RGB→BGR
+    path = fixtures.write_video(tmp_path / "spliced_ai.mp4", clip, fps=2.0)
+
+    monkeypatch.setenv("AVD_BACKEND", "oracle")
+    monkeypatch.setenv("AVD_DETECTOR", "1")
+    monkeypatch.setenv("AVD_DETECTOR_ARCH", "temporal")
+    monkeypatch.setenv("AVD_DETECTOR_BLEND", "1")  # timeline == detector
+    config_mod.reset_config()
+    scoring._bundle.cache_clear()
+    srv = http_mod.make_server(app_mod.build_app(), "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with open(path, "rb") as f:
+            payload = f.read()
+        body, headers = _multipart(files={"file": ("s.mp4", payload)})
+        status, _, data = _request(port, "POST", "/analyze", body, headers)
+        assert status == 200
+        env = json.loads(data)
+        det = env["video"].get("detector")
+        assert det and "temporal_small" in det["weights"], det
+        t = np.asarray(det["timeline"], float)
+        m = len(t)
+        assert m >= 16, f"expected ~2 fps sampling of a 32 s clip, got {m}"
+
+        # IoU of the >0.5 span vs the true spliced span, in sampled-frame
+        # coordinates (the 2 fps sampler keeps frame order)
+        true_ai = np.zeros(m, bool)
+        true_ai[int(round(splice / n * m)):] = True
+        pred_ai = t > 0.5
+        inter = (true_ai & pred_ai).sum()
+        union = (true_ai | pred_ai).sum()
+        iou = inter / max(1, union)
+        assert iou >= 0.6, (iou, t.round(2).tolist())
+
+        # the FUSED timeline rises on the spliced span (blend=1 routes
+        # the detector through video.timeline into fusion).  The fused
+        # timeline indexes the first `duration` sampled frames 1:1
+        # (reference truncation rule), so the splice lands at index 20.
+        fused_len = len(env["video"]["timeline"])
+        assert splice < fused_len <= m
+        binned = np.asarray(env["timeline_binned"], float)
+        b_split = int(round(splice / fused_len * len(binned)))
+        assert binned[b_split:].mean() - binned[:b_split].mean() > 0.15, \
+            binned.tolist()
+        # and the fusion's reported peaks split at the splice point:
+        # low-valleys (detector says real) before it, high peaks (if the
+        # fused values clear PEAK_HIGH) after it
+        high_peaks = [i for i in env["peaks"] if i < fused_len
+                      and t[i] > 0.5]
+        low_peaks = [i for i in env["peaks"] if i < fused_len
+                     and t[i] <= 0.5]
+        assert low_peaks and all(i < splice for i in low_peaks), \
+            (env["peaks"], t[:fused_len])
+        assert all(i >= splice for i in high_peaks), (env["peaks"], t)
+    finally:
+        srv.shutdown()
+        config_mod.reset_config()
+        scoring._bundle.cache_clear()

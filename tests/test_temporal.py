@@ -247,3 +247,41 @@ def test_window_scoring_independent_of_clip_length(monkeypatch):
                                    rtol=0, atol=1e-6)
     finally:
         scoring._bundle.cache_clear()
+
+
+def test_legacy_checkpoint_template_guard(tmp_path):
+    """A pre-round-4 temporal checkpoint (frame_depth 2, no aux head)
+    raises a one-line actionable error, not a raw orbax tree-structure
+    stack trace (VERDICT r4 #7)."""
+    cfg = temporal.make_config("small")
+    new = temporal.init_params(jax.random.PRNGKey(0), cfg)
+    legacy = {k: v for k, v in new.items() if k not in ("aux_w", "aux_b")}
+    legacy["frame_layers"] = new["frame_layers"][:2]
+    path = str(tmp_path / "old_ckpt")
+    temporal.save_checkpoint(path, jax.device_get(legacy))
+
+    with pytest.raises(ValueError, match="pre-round-4 temporal checkpoint"):
+        temporal.load_checkpoint(path, new)
+
+
+def test_template_guard_preserves_other_errors(tmp_path):
+    """A checkpoint that is NOT the legacy template (e.g. a different
+    family's tree) keeps its original restore error."""
+    cfg = temporal.make_config("small")
+    new = temporal.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "not_temporal")
+    temporal.save_checkpoint(path, {"completely": np.zeros(3),
+                                    "different": np.ones(2)})
+    with pytest.raises(Exception) as ei:
+        temporal.load_checkpoint(path, new)
+    assert "pre-round-4" not in str(ei.value)
+
+
+def test_current_template_roundtrip_unaffected(tmp_path):
+    cfg = temporal.make_config("small")
+    p = temporal.init_params(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "ok_ckpt")
+    temporal.save_checkpoint(path, jax.device_get(p))
+    r = temporal.load_checkpoint(path, p)
+    np.testing.assert_allclose(np.asarray(r["aux_w"]),
+                               np.asarray(p["aux_w"]))

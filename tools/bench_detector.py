@@ -5,11 +5,16 @@ Measures frames/sec with resident device data (best-of-N), for each
 requested family × precision:
 
     python tools/bench_detector.py [vit vit-int8 cnn cnn-int8 temporal]
-        [vit-exported ...] [--batch 64]
+        [vit-fused vit-exported ...] [--batch 64]
 
 ``<arch>-exported`` exports the same full-preset program to an AOT
 artifact (models/export.py), deserializes it, and benches the served
 program — the jax.export round trip should be throughput-neutral.
+``vit-fused`` A/Bs the opt-in fused Pallas attention kernel
+(ops/pallas/attention.py); XLA cost analysis cannot see inside the
+``pallas_call``, so its FLOPs column adds the analytic attention FLOPs
+(4·B·T²·width per layer) back so the MFU row stays comparable to plain
+``vit``.
 
 and reports the analytic FLOPs/frame (XLA's own cost analysis of the
 compiled program — exact for the HLO that actually runs) plus MFU
@@ -94,12 +99,18 @@ def bench(config: str, batch: int):
             best = min(best, (time.perf_counter() - t) / CHAIN)
         fps = batch / best
         return fps, flops / batch, (flops / batch) * fps / PEAK_BF16
+    pallas_flops = 0.0
     if config.endswith("-fused"):
         # fused Pallas attention A/B (ops/pallas/attention.py)
         import dataclasses
         if arch != "vit":
             raise SystemExit(f"{config}: fused attention is vit-only")
         cfg = dataclasses.replace(cfg, fused_attn=True)
+        # XLA cost analysis reports 0 FLOPs for the pallas_call custom
+        # call — add the analytic attention FLOPs (QKᵀ + AV: two
+        # 2·B·T²·width multiply-accumulate einsums per layer) back so
+        # the printed GFLOP/frame and MFU stay comparable to plain vit
+        pallas_flops = cfg.depth * 4.0 * batch * cfg.tokens ** 2 * cfg.width
     params = fam.init_params(jax.random.PRNGKey(0), cfg)
     if config.endswith("-int8") and arch not in ("vit", "cnn"):
         raise SystemExit(f"{config}: int8 PTQ supports vit/cnn only")
@@ -117,6 +128,8 @@ def bench(config: str, batch: int):
     x = jnp.asarray(np.random.default_rng(0).random(
         (batch, cfg.image_size, cfg.image_size, 3), np.float32))
     flops = _flops_of(fwd, params, x)
+    if flops:
+        flops += pallas_flops
     float(np.asarray(fwd(params, x))[0])  # compile + warm
     best = float("inf")
     for _ in range(REPS):
