@@ -407,8 +407,26 @@ def augment_pool_codec(frames: np.ndarray, frac: float,
     return out
 
 
+_VIDEO_EXTS = (".mp4", ".mov", ".mkv", ".avi", ".webm", ".m4v")
+
+
 def _dir_batches(root: str, rng, batch: int, size: int):
-    """Yield (frames, labels) from real/ and ai/ image folders."""
+    """Yield (frames, labels) from a real/ai media corpus on disk.
+
+    Corpus contract (the production-training entry point — the
+    reference's whole input domain is uploaded media,
+    /root/reference/render.yaml:12):
+
+        <root>/real/   camera-captured media (label 0)
+        <root>/ai/     AI-generated media  (label 1)
+
+    Both folders take IMAGES (anything cv2.imread decodes: jpg/png/...)
+    and VIDEOS (.mp4/.mov/.mkv/.avi/.webm — each draw samples one
+    random frame, so a clip contributes its whole duration to the
+    pool).  Frames are resized to the model input and scaled to [0,1]
+    RGB.  A tiny committed corpus (tests/data/corpus_v1, built by
+    tools/make_fixture_corpus.py) executes this path in CI; see
+    README "Training on real data"."""
     import os
 
     import cv2
@@ -421,15 +439,36 @@ def _dir_batches(root: str, rng, batch: int, size: int):
             raise ValueError(f"--data {root}: no files in {sub}/ "
                              "(need non-empty real/ and ai/ folders)")
         pools.append((label, files))
+
+    caps: dict = {}  # lazily-opened VideoCapture per clip path
+
+    def _read(fname: str) -> np.ndarray:
+        if fname.lower().endswith(_VIDEO_EXTS):
+            cap = caps.get(fname)
+            if cap is None:
+                cap = caps[fname] = cv2.VideoCapture(fname)
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if n <= 0:
+                raise ValueError(f"--data: unreadable video {fname}")
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(rng.integers(0, n)))
+            ok, img = cap.read()
+            if not ok:  # some containers mis-report the tail count
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                ok, img = cap.read()
+            if not ok:
+                raise ValueError(f"--data: unreadable video {fname}")
+            return img
+        img = cv2.imread(fname)
+        if img is None:
+            raise ValueError(f"--data: unreadable image {fname}")
+        return img
+
     while True:
         frames = np.empty((batch, size, size, 3), np.float32)
         labels = np.empty((batch,), np.int32)
         for i in range(batch):
             label, files = pools[rng.integers(0, 2)]
-            fname = files[rng.integers(0, len(files))]
-            img = cv2.imread(fname)
-            if img is None:
-                raise ValueError(f"--data: unreadable image {fname}")
+            img = _read(files[rng.integers(0, len(files))])
             img = cv2.resize(img, (size, size))[..., ::-1]
             frames[i] = img.astype(np.float32) / 255.0
             labels[i] = label
@@ -892,6 +931,10 @@ def main() -> int:
                     dest="save_every", metavar="K",
                     help="checkpoint params + train state every K steps "
                          "(besides the final save)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="param init + data-pool RNG seed (the pass-6 "
+                         "cross-seed study trains the same recipe at "
+                         "seeds 0..2 — docs/studies/threshold_p6_confirm)")
     ap.add_argument("--families", default="blobs",
                     help="comma-separated procedural generator families "
                          f"for train+eval data (available: "
@@ -911,7 +954,7 @@ def main() -> int:
                                     or args.pp_stages):
         ap.error("--experts/--remat/--pp only apply to --arch vit")
     _, losses = train(steps=args.steps, batch=args.batch, lr=args.lr,
-                      out=args.out, data=args.data,
+                      out=args.out, data=args.data, seed=args.seed,
                       image_size=args.image_size, width=args.width,
                       depth=args.depth, heads=args.heads, arch=args.arch,
                       experts=args.experts, pp_stages=args.pp_stages,
