@@ -347,40 +347,51 @@ def block_forward_aux(x: jnp.ndarray, lp: Dict[str, Any], cfg: ViTConfig,
     overlaps with its adjacent matmul).
     """
     # --- attention ---
-    h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
-            lp["ln1_bias"]).astype(jnp.bfloat16)
-    qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
-        lp["qkv_b"].astype(jnp.bfloat16)
+    # named_scope: annotates the HLO op metadata only (zero runtime
+    # cost) so jax.profiler traces bucket cleanly in
+    # tools/profile_detector.py (VERDICT r4 #3)
+    with jax.named_scope("attn_ln"):
+        h = _ln(x.astype(jnp.float32), lp["ln1_scale"],
+                lp["ln1_bias"]).astype(jnp.bfloat16)
+    with jax.named_scope("attn_qkv"):
+        qkv = h @ lp["qkv_w"].astype(jnp.bfloat16) + \
+            lp["qkv_b"].astype(jnp.bfloat16)
     qkv = ap(qkv, P("data", None, "model"))
     b, t, _ = qkv.shape
     qkv = qkv.reshape(b, t, 3, cfg.heads, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if cfg.fused_attn:
         from avd_tpu.ops.pallas import attention as pattn
-        o = pattn.attention(q, k, v)                # [b, t, width] bf16
+        with jax.named_scope("attn_core_fused"):
+            o = pattn.attention(q, k, v)            # [b, t, width] bf16
     else:
-        att = jnp.einsum("bthd,bshd->bhts", q, k,
-                         preferred_element_type=jnp.float32)
-        att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
-        o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
-                       preferred_element_type=jnp.float32)
-        o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
-    o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
-        lp["proj_b"].astype(jnp.bfloat16)
+        with jax.named_scope("attn_core"):
+            att = jnp.einsum("bthd,bshd->bhts", q, k,
+                             preferred_element_type=jnp.float32)
+            att = jax.nn.softmax(att / np.sqrt(cfg.head_dim), axis=-1)
+            o = jnp.einsum("bhts,bshd->bthd", att.astype(jnp.bfloat16), v,
+                           preferred_element_type=jnp.float32)
+            o = o.reshape(b, t, cfg.width).astype(jnp.bfloat16)
+    with jax.named_scope("attn_proj"):
+        o = o @ lp["proj_w"].astype(jnp.bfloat16) + \
+            lp["proj_b"].astype(jnp.bfloat16)
     x = x + ap(o, res_spec)
 
     # --- mlp (dense or mixture-of-experts) ---
-    h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
-            lp["ln2_bias"]).astype(jnp.bfloat16)
+    with jax.named_scope("mlp_ln"):
+        h = _ln(x.astype(jnp.float32), lp["ln2_scale"],
+                lp["ln2_bias"]).astype(jnp.bfloat16)
     if "router_w" in lp:
-        y, aux = _moe_mlp(h, lp, cfg, ap, router_x)
+        with jax.named_scope("moe_mlp"):
+            y, aux = _moe_mlp(h, lp, cfg, ap, router_x)
         return x + ap(y, res_spec), aux
-    h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
-        lp["mlp_in_b"].astype(jnp.bfloat16)
-    h = ap(h, P("data", None, "model"))
-    h = jax.nn.gelu(h)
-    h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
-        lp["mlp_out_b"].astype(jnp.bfloat16)
+    with jax.named_scope("mlp"):
+        h = h @ lp["mlp_in_w"].astype(jnp.bfloat16) + \
+            lp["mlp_in_b"].astype(jnp.bfloat16)
+        h = ap(h, P("data", None, "model"))
+        h = jax.nn.gelu(h)
+        h = h @ lp["mlp_out_w"].astype(jnp.bfloat16) + \
+            lp["mlp_out_b"].astype(jnp.bfloat16)
     return x + ap(h, res_spec), jnp.float32(0.0)
 
 
@@ -474,7 +485,8 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
     ap = functools.partial(_constrain) if sharded else (lambda x, s: x)
     res_spec = (P("data", "model", None) if seq_sharded
                 else P("data", None, None))
-    x = embed(params, frames, cfg)
+    with jax.named_scope("patch_embed"):
+        x = embed(params, frames, cfg)
     x = ap(x, res_spec)
 
     # Pre-gating features for MoE routing, computed ONCE in f32 so every
@@ -498,7 +510,8 @@ def forward(params: Dict[str, Any], frames: jnp.ndarray, cfg: ViTConfig,
         for lp in params["layers"]:
             x, aux = body(x, lp)
             aux_total = aux_total + aux
-    logits = head(params, x)
+    with jax.named_scope("head"):
+        logits = head(params, x)
     return (logits, aux_total) if with_aux else logits
 
 

@@ -524,30 +524,31 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
         # resolution-transfer fine-tune: restore a checkpoint trained at
         # another image size into THIS config's pytree, adapting only
         # the positional-embedding grid (detector.interpolate_pos_emb).
-        # The source grid is probed: for a fixed patch size, pos_emb is
-        # the ONLY resolution-dependent leaf, so restoring against a
-        # like-tree built at each candidate size finds it.
+        # The source grid is read from the checkpoint METADATA (shapes
+        # only, no data): for a fixed patch size, pos_emb is the ONLY
+        # resolution-dependent leaf, so its stored token count names
+        # the training resolution directly — one clean restore instead
+        # of try/except probing (failed orbax restores spray unhandled
+        # asyncio-task dumps into the log, ~138 per probe miss).
         if arch != "vit":
             raise ValueError("--init-from supports the ViT family")
         import dataclasses
 
+        import orbax.checkpoint as ocp
+
         from avd_tpu.models.detector import interpolate_pos_emb
-        restored = None
-        sizes = [image_size] + [
-            s for s in (128, 224, 64, 96, 160, 192, 256)
-            if s != image_size]
-        for probe_size in sizes:
-            probe_cfg = dataclasses.replace(cfg, image_size=probe_size)
-            try:
-                like = detector.init_params(jax.random.PRNGKey(0),
-                                            probe_cfg)
-                restored = detector.load_checkpoint(init_from, like)
-                break
-            except Exception:
-                continue
-        if restored is None:
-            raise ValueError(f"--init-from {init_from}: no matching "
-                             "pos_emb grid found")
+        meta = ocp.StandardCheckpointer().metadata(
+            os.path.abspath(init_from)).item_metadata
+        tok = meta["pos_emb"].shape[0]
+        side = int(round((tok - 1) ** 0.5))
+        if side * side != tok - 1:
+            raise ValueError(f"--init-from {init_from}: stored pos_emb "
+                             f"has {tok} tokens — not a square patch "
+                             "grid + cls")
+        probe_size = side * cfg.patch
+        probe_cfg = dataclasses.replace(cfg, image_size=probe_size)
+        like = detector.init_params(jax.random.PRNGKey(0), probe_cfg)
+        restored = detector.load_checkpoint(init_from, like)
         params = interpolate_pos_emb(restored, cfg)
         print(f"initialized from {init_from} (trained at {probe_size}px; "
               f"pos_emb -> {cfg.tokens} tokens)", flush=True)

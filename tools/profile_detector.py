@@ -26,11 +26,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKETS = (
-    # (bucket, regexes over the HLO fusion/op name)
-    ("attention(dots)", (r"dot.*softmax|softmax.*dot|attn", r"dot_general")),
-    ("convolution", (r"conv",)),
+    # (bucket, regexes over the scope-qualified op name — the forward
+    # pass carries jax.named_scope annotations (models/detector.py
+    # block_forward_aux: attn_ln/attn_qkv/attn_core/attn_proj/mlp_ln/
+    # mlp/moe_mlp, plus patch_embed/head), which XLA propagates into
+    # the trace metadata, so classification keys on intent, not on
+    # guessing what a fusion contains)
+    ("attn_core", (r"attn_core",)),
+    ("attn_qkv/proj", (r"attn_qkv|attn_proj",)),
+    ("layernorm", (r"attn_ln|mlp_ln|norm|rsqrt|variance",)),
+    ("mlp", (r"\bmlp\b|mlp/|moe_mlp",)),
+    ("patch_embed", (r"patch_embed|conv",)),
+    ("head", (r"\bhead\b|head/",)),
     ("copy/transpose", (r"copy|transpose|bitcast",)),
-    ("reduce/norm", (r"reduce|norm|rsqrt|variance",)),
+    ("other-dot", (r"dot_general|dot\b",)),
     ("elementwise", (r"add|mul|sub|div|tanh|exp|gelu|erf|select|fusion",)),
 )
 
@@ -92,7 +101,12 @@ def parse_trace(logdir: str) -> dict:
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        per_op[e["name"]] += float(e["dur"])  # µs
+        # prefer the scope-qualified metadata name (tf_op / long_name
+        # carry the jax.named_scope path, e.g. "attn_core/dot_general");
+        # the bare event name is often an opaque "fusion.123"
+        args = e.get("args") or {}
+        name = args.get("tf_op") or args.get("long_name") or e["name"]
+        per_op[name] += float(e["dur"])  # µs
     return dict(per_op)
 
 
