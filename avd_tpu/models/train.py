@@ -488,6 +488,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
           resume: bool = False, save_every: int = 0,
           zero1: bool = False, fsdp: bool = False,
           warmup: int = 0, schedule: str = "const",
+          schedule_horizon: int = 0,
           grad_clip: float = 0.0, accum: int = 1, ema: float = 0.0):
     import os
 
@@ -558,10 +559,16 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                              f"{out}[.train]")
         params = detector.load_checkpoint(out, params)
     # with accumulation the optimizer only steps every `accum` loop
-    # iterations — the cosine horizon is in OPTIMIZER steps
+    # iterations — the cosine horizon is in OPTIMIZER steps.
+    # --schedule-horizon decouples the cosine horizon from this
+    # invocation's --steps: curriculum phases resumed with --resume
+    # (e.g. temporal T=4..32) each rebuild the optimizer, and without a
+    # shared horizon every phase restarts its own cosine (LR sawtooth);
+    # passing the TOTAL step count in every phase yields one global
+    # warmup+cosine across the whole curriculum.
     optimizer = detector.make_optimizer(
-        lr, steps=max(1, steps // max(1, accum)), warmup=warmup,
-        schedule=schedule, grad_clip=grad_clip, accum=accum)
+        lr, steps=max(1, (schedule_horizon or steps) // max(1, accum)),
+        warmup=warmup, schedule=schedule, grad_clip=grad_clip, accum=accum)
 
     n_dev = len(jax.devices())
     sharded = n_dev > 1
@@ -760,6 +767,7 @@ def train(steps: int = 100, batch: int = 16, lr: float = 3e-4,
                        "aug_codec": aug_codec, "logit_l2": logit_l2,
                        "aug_crfs": list(aug_crfs),
                        "warmup": warmup, "schedule": schedule,
+                       "schedule_horizon": schedule_horizon,
                        "grad_clip": grad_clip, "accum": accum,
                        "ema": ema, "zero1": zero1, "fsdp": fsdp,
                        "init_from": init_from}, f)
@@ -901,6 +909,13 @@ def main() -> int:
                     choices=("const", "cosine"),
                     help="LR schedule; cosine decays to 1%% of --lr by "
                          "the final optimizer step")
+    ap.add_argument("--schedule-horizon", type=int, default=0,
+                    dest="schedule_horizon", metavar="N",
+                    help="cosine decay horizon in TOTAL steps (default: "
+                         "this invocation's --steps). Pass the full-"
+                         "curriculum step count in every --resume phase "
+                         "so the LR follows ONE global warmup+cosine "
+                         "instead of warm-restarting per phase")
     ap.add_argument("--grad-clip", type=float, default=0.0,
                     dest="grad_clip", metavar="NORM",
                     help="global-norm gradient clipping (0 = off), "
@@ -969,6 +984,7 @@ def main() -> int:
                       resume=args.resume, save_every=args.save_every,
                       zero1=args.zero1, fsdp=args.fsdp,
                       warmup=args.warmup, schedule=args.schedule,
+                      schedule_horizon=args.schedule_horizon,
                       grad_clip=args.grad_clip, accum=args.accum,
                       ema=args.ema)
     if losses:

@@ -352,6 +352,33 @@ def test_resume_bit_compatible(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_schedule_horizon_makes_phased_cosine_match_straight(tmp_path):
+    """--schedule-horizon pins the cosine decay to the TOTAL curriculum
+    step count: a run split into --resume phases (each of which rebuilds
+    the optimizer) follows the SAME global warmup+cosine as an
+    uninterrupted run — bit-identical final params.  Without the flag
+    each phase would restart its own cosine over its own --steps
+    (LR sawtooth; the round-5 temporal retrain suspect)."""
+    import json
+    import jax
+
+    kw = dict(batch=8, lr=1e-3, image_size=16, width=32, depth=1,
+              heads=2, log_every=0, cache_samples=64, seed=13,
+              families=("blobs",), schedule="cosine", warmup=2)
+    straight, _ = train.train(steps=6, **kw)
+
+    out = str(tmp_path / "ckpt_horizon")
+    train.train(steps=3, out=out, schedule_horizon=6, **kw)
+    resumed, _ = train.train(steps=6, out=out, resume=True,
+                             schedule_horizon=6, **kw)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with open(f"{out}/train_meta.json") as f:
+        assert json.load(f)["schedule_horizon"] == 6
+
+
 def test_accum_k_matches_mean_grad_step():
     """optax.MultiSteps accumulation: K update() calls with micro-grads
     equal ONE inner-optimizer step with their mean — exact at the optax
