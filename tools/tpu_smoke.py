@@ -80,8 +80,11 @@ def smoke_bf16_flow() -> None:
         path = os.path.join(tempfile.gettempdir(),
                             f"avd_smoke_bf16_{flag}.npz")
         env = dict(os.environ, AVD_FLOW_BF16=flag)
+        # 1800 s is provably below the bf16 pyramid's COLD Mosaic
+        # compile cost (a round-5 run timed out at 30 min mid-compile);
+        # warm-cache runs finish in ~2 min either way
         subprocess.run([sys.executable, "-c", _CHILD.format(root=root),
-                        path], env=env, check=True, timeout=1800)
+                        path], env=env, check=True, timeout=5400)
         outs[flag] = dict(np.load(path))
     deltas = {k: float(np.max(np.abs(outs["0"][k] - outs["1"][k])))
               for k in ("flow_means", "flow_vars", "timeline_ai")}
