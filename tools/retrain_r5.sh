@@ -52,17 +52,20 @@ run moe_s0 --image-size 64 --steps 6000 --lr 3e-4 --seed 0 --experts 4
 
 # temporal: T=4->32 curriculum phases via --resume (round-4 recipe);
 # sinusoidal time encoding keeps params T-independent, and --resume
-# runs to the TOTAL step count, so the final meta records steps=10000
+# runs to the TOTAL step count, so the final meta records steps=10000.
+# --schedule-horizon 10000 pins ONE global cosine across all four
+# phases — without it each phase would rebuild the schedule with its
+# own horizon and the LR would sawtooth at every curriculum boundary.
 if [ ! -f "$R5/.done_temporal_s0" ]; then
   echo "=== $(date -u +%H:%M:%S) train temporal_s0 (phases T=4/8/16/32)"
   python -m avd_tpu.models.train --out "$R5/temporal_s0" $COMMON \
       --arch temporal --image-size 64 --steps 2500 --lr 3e-4 --seed 0 \
-      --seq-len 4
+      --seq-len 4 --schedule-horizon 10000
   for ph in "8 5000" "16 7500" "32 10000"; do
     set -- $ph
     python -m avd_tpu.models.train --out "$R5/temporal_s0" $COMMON \
         --arch temporal --image-size 64 --steps "$2" --lr 3e-4 --seed 0 \
-        --seq-len "$1" --resume
+        --seq-len "$1" --resume --schedule-horizon 10000
   done
   touch "$R5/.done_temporal_s0"
 fi
